@@ -1,0 +1,37 @@
+"""fedm_tpu — a TPU-native plasma fluid-Poisson modelling framework.
+
+A ground-up JAX/XLA re-design of the capabilities of FEDM (Finite Element
+Discharge Modelling; Jovanovic, Loffhagen, Becker, PSST 32 044003 (2023)):
+automated generation of discretised residuals for Poisson's equation coupled
+to an arbitrary number of particle balance equations, source terms built from
+parsed chemical reaction schemes, and stiff variable-step BDF2 time
+integration with PID step-size control.
+
+Where the reference (/root/reference) stacks pure Python on FEniCS/PETSc/MUMPS
+with MPI domain decomposition, this framework is array-native:
+
+- the state is a dense ``u[n_dofs, n_eq]`` array (log-densities + potential),
+- element residual kernels are jitted JAX functions (gather -> einsum ->
+  segment_sum) differentiated with ``jax.jvp`` for Newton-Krylov,
+- transport/rate coefficients live on device (``jnp.interp`` lookups fused
+  into the residual),
+- multi-chip scaling shards mesh cells over a ``jax.sharding.Mesh`` with XLA
+  collectives instead of MPI ghost exchange.
+
+Float64 is enabled at import (the physics spans ~e13..e19 m^-3 even in log
+form, and the reference stack is float64 throughout); set environment
+variable ``FEDM_TPU_NO_X64=1`` before import to opt out (e.g. for bf16/f32
+performance experiments on TPU).
+"""
+
+import os
+
+if not os.environ.get("FEDM_TPU_NO_X64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+from . import constants  # noqa: E402
+
+__version__ = "0.1.0"
+__all__ = ["constants"]

@@ -1,0 +1,125 @@
+"""Matrix-free preconditioned Krylov solvers (jittable).
+
+TPU has no sparse direct solver, so these replace the reference's default
+MUMPS/PETSc-KSP path (`examples/glow_discharge/fedm-gd.py:32`,
+`fedm/functions.py:1154-1161`, SURVEY.md "hard parts"). All solvers:
+
+- operate matrix-free on arrays of any shape (dot products flatten),
+- run under `jit` via `lax.while_loop` (dt-robust: a failed solve surfaces
+  as a flag, never an exception — the adaptive driver reacts by shrinking
+  dt, which is exactly the reference's failure semantics,
+  `fedm/functions.py:1080-1100`),
+- return `(x, relres, iters)`.
+
+Under `shard_map` the dot products reduce over locally-sharded arrays;
+with the round-1 replicated-state layout they need no explicit psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def _dot(a: Array, b: Array) -> Array:
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def _norm(a: Array) -> Array:
+    return jnp.sqrt(_dot(a, a))
+
+
+def _identity(x: Array) -> Array:
+    return x
+
+
+def cg(matvec: Callable, b: Array, x0: Optional[Array] = None,
+       precond: Optional[Callable] = None, tol: float = 1e-10,
+       atol: float = 0.0, maxiter: int = 1000):
+    """Preconditioned conjugate gradients for SPD operators.
+
+    Returns (x, relative_residual, iterations).
+    """
+    M = precond or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = _dot(r, z)
+    bnorm = jnp.maximum(_norm(b), 1e-300)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return (_norm(r) > target) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, p, rz, k = lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
+    return x, _norm(r) / bnorm, k
+
+
+def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
+             precond: Optional[Callable] = None, tol: float = 1e-8,
+             atol: float = 0.0, maxiter: int = 1000):
+    """Right-preconditioned BiCGStab for general operators.
+
+    Returns (x, relative_residual, iterations). Breakdown (rho or omega
+    underflow) exits early; the caller checks `relres` for success.
+    """
+    M = precond or _identity
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    rhat = r
+    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    v = p = jnp.zeros_like(b)
+    bnorm = jnp.maximum(_norm(b), 1e-300)
+    target = jnp.maximum(tol * bnorm, atol)
+    tiny = jnp.asarray(1e-290, b.dtype)
+
+    def cond(state):
+        x, r, rhat, rho, alpha, omega, v, p, k, broke = state
+        return (_norm(r) > target) & (k < maxiter) & (~broke)
+
+    def body(state):
+        x, r, rhat, rho, alpha, omega, v, p, k, broke = state
+        rho_new = _dot(rhat, r)
+        breakdown = jnp.abs(rho_new) < tiny
+        beta = (rho_new / jnp.where(breakdown, 1.0, rho)) * (
+            alpha / jnp.where(jnp.abs(omega) < tiny, 1.0, omega)
+        )
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = matvec(phat)
+        denom = _dot(rhat, v)
+        breakdown |= jnp.abs(denom) < tiny
+        alpha = rho_new / jnp.where(breakdown, 1.0, denom)
+        s = r - alpha * v
+        shat = M(s)
+        t = matvec(shat)
+        tt = _dot(t, t)
+        omega = _dot(t, s) / jnp.where(tt < tiny, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return x, r, rhat, rho_new, alpha, omega, v, p, k + 1, breakdown
+
+    init = (x, r, rhat, rho, alpha, omega, v, p, jnp.int32(0),
+            jnp.asarray(False))
+    x, r, *_, k, broke = lax.while_loop(cond, body, init)
+    return x, _norm(r) / bnorm, k

@@ -1,0 +1,107 @@
+"""Damped Newton-Krylov nonlinear solver (jittable).
+
+Replaces PETSc SNES + MUMPS (`/root/reference/fedm/functions.py:1047`,
+`examples/glow_discharge/fedm-gd.py:410-413`) with a TPU-native scheme:
+
+- the Jacobian action is `jax.linearize` of the residual — the autodiff
+  counterpart of the reference's symbolic `J = derivative(F, u_new, u)`
+  (`fedm-gd.py:402`),
+- the inner solve is matrix-free BiCGStab/CG with a caller-supplied
+  preconditioner (typically the node-block Jacobi built by the system
+  layer),
+- backtracking line search mirrors SNES newtonls damping,
+- failure is a *flag*, not an exception: the adaptive time-step driver
+  reads `info.converged` and shrinks dt on failure, reproducing the
+  reference's reject/retry semantics (`fedm/functions.py:1080-1100`).
+
+Convergence test is SNES-style: ||F|| <= max(rtol * ||F0||, atol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .linear import bicgstab, cg, _norm
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class NewtonConfig:
+    rtol: float = 1e-4          # reference scripts: 1e-4 (gd/streamer), 1e-10 (tof)
+    atol: float = 0.0
+    max_iter: int = 20
+    linear_solver: str = "bicgstab"  # 'bicgstab' | 'cg'
+    linear_tol: float = 1e-4
+    linear_maxiter: int = 300
+    max_halvings: int = 6       # line-search backtracking depth
+    armijo: float = 1e-4
+
+
+class NewtonInfo(NamedTuple):
+    converged: Array   # bool
+    iters: Array       # int32
+    res_norm: Array    # final ||F||
+    res0_norm: Array   # initial ||F||
+    lin_relres: Array  # last linear-solve relative residual
+
+
+def newton_krylov(
+    residual: Callable[[Array], Array],
+    u0: Array,
+    config: NewtonConfig = NewtonConfig(),
+    precond_builder: Optional[Callable[[Array], Callable]] = None,
+):
+    """Solve residual(u) = 0 starting from u0. Returns (u, NewtonInfo)."""
+    lin = {"bicgstab": bicgstab, "cg": cg}[config.linear_solver]
+
+    f0 = residual(u0)
+    f0_norm = _norm(f0)
+    target = jnp.maximum(config.rtol * f0_norm, config.atol)
+
+    def cond(state):
+        u, fnorm, k, bad, linres = state
+        return (fnorm > target) & (k < config.max_iter) & (~bad)
+
+    def body(state):
+        u, fnorm, k, bad, _ = state
+        f, jvp = jax.linearize(residual, u)
+        M = precond_builder(u) if precond_builder is not None else None
+        delta, linres, _ = lin(
+            jvp, -f, precond=M,
+            tol=config.linear_tol, maxiter=config.linear_maxiter,
+        )
+
+        # backtracking line search (SNES newtonls-style damping)
+        def ls_cond(ls):
+            lam, fnew_norm, h = ls
+            ok = fnew_norm <= (1.0 - config.armijo * lam) * fnorm
+            return (~ok) & (h < config.max_halvings)
+
+        def ls_body(ls):
+            lam, _, h = ls
+            lam = lam * 0.5
+            fnew_norm = _norm(residual(u + lam * delta))
+            return lam, fnew_norm, h + 1
+
+        lam0 = jnp.asarray(1.0, u.dtype)
+        fnew0 = _norm(residual(u + delta))
+        lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
+                                           (lam0, fnew0, jnp.int32(0)))
+        u_new = u + lam * delta
+
+        # declare failure when the step produced no residual reduction at
+        # all, or went non-finite (caller shrinks dt)
+        bad = (~jnp.isfinite(fnew_norm)) | (fnew_norm >= fnorm)
+        return u_new, fnew_norm, k + 1, bad, linres
+
+    init = (u0, f0_norm, jnp.int32(0), ~jnp.isfinite(f0_norm),
+            jnp.asarray(jnp.inf, u0.dtype))
+    u, fnorm, k, bad, linres = lax.while_loop(cond, body, init)
+    converged = (fnorm <= target) & jnp.isfinite(fnorm)
+    return u, NewtonInfo(converged, k, fnorm, f0_norm, linres)
