@@ -1,0 +1,261 @@
+"""Positive streamer in air — the Bagheri et al. benchmark.
+
+Re-creation of `examples/streamer_discharge/fedm-streamer.py` (Bagheri et
+al., Plasma Sources Sci. Technol. 27 (2018) 095002): LFA, coupled system of
+
+  u[:, 0] = ln n_ion   ('reaction' — immobile ions)
+  u[:, 1] = ln n_e     ('drift-diffusion-reaction', log form)
+  u[:, 2] = Phi        (Poisson)
+
+on an axisymmetric (r, z) rectangle, U = 18.75 kV across 1.25 cm at
+760 Torr. Transport/ionisation coefficients are closed-form functions of
+the field magnitude E_m (`fedm-streamer.py:237-239`), compiled through the
+safe expression layer and evaluated at quadrature points inside the
+residual — the exact analog of the reference's symbolic UFL expressions,
+including their contribution to the Newton Jacobian (via autodiff here,
+via `derivative()` there).
+
+Time stepping: adaptive BDF2, PID controller, ttol=1e-3, dt in
+[1e-15, 5e-12], error monitored on the electron component (LFA -> index
+n_eq-2; `fedm/functions.py:1056-1057`). First-step reference trajectory for
+the shipped test config starts at ~6.77e-4 (`tests/integrated_tests/
+streamer_discharge/20220707_results/relative error.log:1`).
+
+The reference reads its mesh from an unshipped `mesh.xml`
+(`fedm-streamer.py:116`); this model generates a structured rectangle mesh
+(optionally graded toward the axis where the streamer runs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import elementary_charge, epsilon_0
+from ..fem import CellBatch, FacetBatch, FunctionSpace
+from ..fem.dirichlet import BCSet, DirichletBC
+from ..mesh import Mesh, mark_boundaries, rectangle_mesh
+from ..model.forms import balance_equation_contrib, bdf2_history_part
+from ..model.system import CoupledSystem, StepParams
+from ..ops.exprs import compile_expression
+from ..solvers.elliptic import solve_poisson
+from ..solvers.newton import NewtonConfig
+from ..timestepping import AdaptiveDriver, TimeState
+
+Array = jax.Array
+
+# Bagheri et al. air coefficients, as shipped in the reference input tree
+# (`tests/integrated_tests/streamer_discharge/file_input/benchmark_model/
+# transport_coefficients/{e_Nb.dat,e_ND.dat,alpha.dat}` and
+# `fedm-streamer.py:237-239`). N*b and N*D forms divided by N0 at build.
+MU_E_EXPR = "2.3987*E_m**(-0.26)"
+D_E_EXPR = "4.3628e-3*E_m**0.22"
+ALPHA_EXPR = "(1.1944e6 + 4.3666e26 * E_m**(-3))*exp(-2.73e7/E_m)-340.75"
+
+
+@dataclass
+class StreamerConfig:
+    U_w: float = 18750.0          # applied voltage [V]
+    p0: float = 760.0             # pressure [Torr]
+    Tgas: float = 300.0
+    box_width: float = 0.0125     # [m] (r extent)
+    box_height: float = 0.0125    # [m] (z extent)
+    nx: int = 80
+    ny: int = 160
+    grade: float = 2.5            # mesh grading strength toward the axis/seed
+    seed_amplitude: float = 5e18  # [m^-3]
+    seed_width: float = 0.4e-3    # [m]
+    seed_z: float = 1e-2          # [m]
+    background: float = 1e13      # [m^-3]
+    dt_init: float = 5e-12
+    dt_min: float = 1e-15
+    dt_max: float = 5e-12
+    ttol: float = 1e-3
+    T_final: float = 1.4e-8
+    mu_e_expr: str = MU_E_EXPR
+    D_e_expr: str = D_E_EXPR
+    alpha_expr: str = ALPHA_EXPR
+    quad_degree: int = 2          # reference sets quadrature_degree=2
+    Em_floor: float = 1.0         # [V/m] guard for E_m^-3 style expressions
+    newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
+        rtol=1e-4, max_iter=20, linear_tol=1e-6, linear_maxiter=800))
+
+    @property
+    def N0(self) -> float:
+        return self.p0 * 3.21877e22
+
+
+def _graded_coords(n: int, length: float, grade: float, focus: float) -> np.ndarray:
+    """1D node coordinates on [0, length], geometrically refined toward
+    `focus` (0 -> start, 1 -> end). grade=0 gives a uniform grid."""
+    s = np.linspace(0.0, 1.0, n + 1)
+    if grade <= 0:
+        return s * length
+    # sinh stretching: derivative cosh(grade*(s-focus)) is minimal at the
+    # focus -> finest spacing there
+    t = np.sinh(grade * (s - focus)) / grade
+    t = (t - t[0]) / (t[-1] - t[0])
+    return t * length
+
+
+class StreamerModel:
+    SIGN = (1.0, -1.0)  # ion, electron charge signs
+
+    def __init__(self, cfg: StreamerConfig = None, mesh: Optional[Mesh] = None):
+        self.cfg = cfg = cfg or StreamerConfig()
+        if mesh is None:
+            xs = _graded_coords(cfg.nx, cfg.box_width, cfg.grade, 0.0)
+            zs = _graded_coords(cfg.ny, cfg.box_height, cfg.grade,
+                                cfg.seed_z / cfg.box_height)
+            mesh = rectangle_mesh((0, 0), (cfg.box_width, cfg.box_height),
+                                  cfg.nx, cfg.ny)
+            # replace uniform coords by graded tensor-product coordinates
+            ux = np.unique(mesh.coords[:, 0])
+            uz = np.unique(mesh.coords[:, 1])
+            mesh.coords[:, 0] = np.interp(mesh.coords[:, 0], ux, xs)
+            mesh.coords[:, 1] = np.interp(mesh.coords[:, 1], uz, zs)
+            mesh = Mesh(mesh.coords, mesh.cells)
+        self.mesh = mesh
+        # boundary list as in `fedm-streamer.py:98-101`
+        mark_boundaries(mesh, [
+            ["line", 0.0, 0.0, 0.0, cfg.box_width],                   # 1 z=0
+            ["line", cfg.box_height, cfg.box_height, 0.0, cfg.box_width],  # 2
+            ["line", 0.0, cfg.box_height, 0.0, 0.0],                  # 3 axis
+            ["line", 0.0, cfg.box_height, cfg.box_width, cfg.box_width],   # 4
+        ])
+        self.space = FunctionSpace(mesh, 1)
+        self.batch = CellBatch(self.space, quad_degree=cfg.quad_degree,
+                               axisymmetric=True)
+        self.n_eq = 3
+
+        self._mu_e = compile_expression(cfg.mu_e_expr)
+        self._D_e = compile_expression(cfg.D_e_expr)
+        self._alpha = compile_expression(cfg.alpha_expr)
+
+        coords = self.space.dof_coords
+        cathode = self.space.dofs_where(lambda x: np.isclose(x[:, 1], 0.0))
+        anode = self.space.dofs_where(
+            lambda x: np.isclose(x[:, 1], cfg.box_height))
+        self._phi_bcs = [
+            DirichletBC(cathode, 2, 0.0),
+            DirichletBC(anode, 2, cfg.U_w),
+        ]
+        bcs = BCSet(self.space, self.n_eq, self._phi_bcs)
+
+        self.system = CoupledSystem(self.batch, self.n_eq, bcs, cfg.newton)
+        self.system.set_cell_kernel(self._cell_kernel)
+        # Neumann electron outflow on the electrodes (markers 1 and 2,
+        # `fedm-streamer.py:103-104`); axis and outer wall are zero-flux.
+        fb = FacetBatch(self.space, markers=[1, 2],
+                        quad_degree=cfg.quad_degree, axisymmetric=True)
+        self.system.add_facet_kernel(fb, self._electrode_kernel)
+
+    # -- coefficient fields at quadrature points ----------------------------
+
+    def _coeffs(self, E_m: Array):
+        # NOTE: despite the `N*b` headers in the shipped .dat files, the
+        # reference uses these fun:E expressions directly as mu and D with
+        # no /N0 (`fedm-streamer.py:237-238`) — they are the Bagheri paper's
+        # closed forms for the coefficients themselves.
+        mu = self._mu_e(E_m=E_m)
+        D = self._D_e(E_m=E_m)
+        alpha = self._alpha(E_m=E_m)
+        return mu, D, alpha
+
+    # -- kernels ------------------------------------------------------------
+
+    def _cell_kernel(self, cb: CellBatch, u_e: Array, ctx) -> Array:
+        p: StepParams = ctx["params"]
+        u_old_e, u_old1_e = ctx["u_old"], ctx["u_old1"]
+
+        E_q = -cb.grad(u_e[..., 2])  # [c, q, dim]
+        E_m = jnp.sqrt(jnp.sum(E_q * E_q, axis=-1) + self.cfg.Em_floor**2)
+        mu_q, D_q, alpha_q = self._coeffs(E_m)
+
+        ue_q = cb.value(u_e[..., 1])
+        ne_q = jnp.exp(ue_q)
+        gue_q = cb.grad(u_e[..., 1])
+
+        # impact-ionisation source (`fedm-streamer.py:244-245`)
+        f_ion = alpha_q * mu_q * E_m * ne_q
+        # electron flux, grad_diffusion=False (`fedm-streamer.py:242`)
+        Gamma_e = (-D_q[..., None] * ne_q[..., None] * gue_q
+                   + self.SIGN[1] * mu_q[..., None] * E_q * ne_q[..., None])
+
+        contrib_i = balance_equation_contrib(
+            cb, "reaction", u_e[..., 0], u_old_e[..., 0], u_old1_e[..., 0],
+            p.dt, p.dt_old, f_ion)
+        contrib_e = balance_equation_contrib(
+            cb, "drift-diffusion-reaction", u_e[..., 1], u_old_e[..., 1],
+            u_old1_e[..., 1], p.dt, p.dt_old, f_ion, Gamma_q=Gamma_e)
+
+        # Poisson: stiffness(grad Phi) - mass(rho/eps0)
+        rho_q = (jnp.exp(cb.value(u_e[..., 0])) - ne_q) * (
+            elementary_charge / epsilon_0)
+        contrib_p = cb.stiffness(cb.grad(u_e[..., 2])) - cb.mass(rho_q)
+
+        return jnp.stack([contrib_i, contrib_e, contrib_p], axis=-1)
+
+    def _electrode_kernel(self, fb: FacetBatch, u_e: Array, ctx) -> Array:
+        """Neumann electron outflow: + 2 pi r (sign mu E . n) e^u v ds
+        (`fedm/functions.py:523-524`)."""
+        E_q = -fb.grad(u_e[..., 2])
+        E_m = jnp.sqrt(jnp.sum(E_q * E_q, axis=-1) + self.cfg.Em_floor**2)
+        mu_q, _, _ = self._coeffs(E_m)
+        En = jnp.einsum("fqd,fd->fq", E_q, fb.normal)
+        ne_q = jnp.exp(fb.value(u_e[..., 1]))
+        contrib_e = fb.mass(self.SIGN[1] * mu_q * En * ne_q)
+        zero = jnp.zeros_like(contrib_e)
+        return jnp.stack([zero, contrib_e, zero], axis=-1)
+
+    # -- initial state ------------------------------------------------------
+
+    def initial_state(self) -> TimeState:
+        """Gaussian ion seed + uniform electrons (`fedm-streamer.py:169-172`)
+        and the initial Poisson solve for Phi (`fedm-streamer.py:205-215`)."""
+        cfg = self.cfg
+        coords = self.space.dof_coords
+        r, z = coords[:, 0], coords[:, 1]
+        n_ion = cfg.background + cfg.seed_amplitude * np.exp(
+            -(r**2 + (z - cfg.seed_z) ** 2) / cfg.seed_width**2)
+        u_ion = jnp.asarray(np.log(n_ion))
+        u_el = jnp.full(self.space.n_dofs, np.log(cfg.background))
+
+        rho_q = (jnp.exp(self.batch.value(self.batch.gather(u_ion)))
+                 - jnp.exp(self.batch.value(self.batch.gather(u_el)))) * (
+            elementary_charge / epsilon_0)
+        mask = np.zeros(self.space.n_dofs, dtype=bool)
+        g = np.zeros(self.space.n_dofs)
+        cathode = np.isclose(coords[:, 1], 0.0)
+        anode = np.isclose(coords[:, 1], cfg.box_height)
+        mask[cathode | anode] = True
+        g[anode] = cfg.U_w
+        phi, relres, _ = solve_poisson(self.batch, rho_q, jnp.asarray(mask),
+                                       jnp.asarray(g), tol=1e-12)
+        u = jnp.stack([u_ion, u_el, phi], axis=-1)
+        return TimeState(u=u, u_old=u, u_old1=u, t=0.0,
+                         dt=cfg.dt_init, dt_old=1e30)
+
+    # -- run ----------------------------------------------------------------
+
+    def make_driver(self, error_log: Optional[Path] = None,
+                    verbose: bool = False) -> AdaptiveDriver:
+        return AdaptiveDriver(
+            self.system, monitor_idx=self.n_eq - 2, ttol=self.cfg.ttol,
+            dt_min=self.cfg.dt_min, dt_max=self.cfg.dt_max,
+            error_log=error_log, verbose=verbose)
+
+    def run(self, T_final: Optional[float] = None,
+            error_log: Optional[Path] = None, verbose: bool = False,
+            max_steps: int = 100000) -> TimeState:
+        T = T_final if T_final is not None else self.cfg.T_final
+        driver = self.make_driver(error_log, verbose)
+        state = self.initial_state()
+        while abs(state.t - T) / T > 1e-6 and state.n_accepted < max_steps:
+            state = driver.advance(state, {})
+        return state

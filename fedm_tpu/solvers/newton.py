@@ -72,10 +72,22 @@ def newton_krylov(
         u, fnorm, k, bad, _ = state
         f, jvp = jax.linearize(residual, u)
         M = precond_builder(u) if precond_builder is not None else None
-        delta, linres, _ = lin(
-            jvp, -f, precond=M,
-            tol=config.linear_tol, maxiter=config.linear_maxiter,
-        )
+        if M is None or config.linear_solver == "cg":
+            # CG implements proper preconditioned CG (M-inner products)
+            delta, linres, _ = lin(
+                jvp, -f, precond=M,
+                tol=config.linear_tol, maxiter=config.linear_maxiter,
+            )
+        else:
+            # LEFT preconditioning: the log-density formulation produces
+            # residual rows spanning hundreds of orders of magnitude (the
+            # Gaussian far field); converging in the M^-1-scaled norm makes
+            # the Krylov tolerance a per-row relative accuracy, which a
+            # sparse direct solver (the reference's MUMPS) gets for free.
+            delta, linres, _ = lin(
+                lambda v: M(jvp(v)), M(-f),
+                tol=config.linear_tol, maxiter=config.linear_maxiter,
+            )
 
         # backtracking line search (SNES newtonls-style damping)
         def ls_cond(ls):

@@ -1,0 +1,140 @@
+"""Adaptive solve driver: reject/retry stepping with error control.
+
+Reproduces the semantics of the reference's recursive `adaptive_solver`
+(`/root/reference/fedm/functions.py:954-1130`) as a bounded host-side loop
+around ONE jitted attempted step (dt is traced, so retries never
+recompile — SURVEY.md section 7 'dynamic control flow'):
+
+- attempt: t += dt, update time-dependent BCs, Newton solve;
+- on success: relative step error ||u_new - u_old + eps|| / ||u_old + eps||
+  on the monitored component (LMEA -> electron energy density, index 0;
+  LFA -> electron density, index -2; `functions.py:1056-1064`), appended to
+  `relative error.log` in the reference's exact column format
+  (`functions.py:1067-1069`);
+- error >= ttol: dt *= 0.5*ttol/error, reset, retry (`functions.py:1086`);
+- Newton failure: dt *= 0.5, reset, retry (`functions.py:1092`);
+- dt < dt_min: SystemExit (`functions.py:1099-1100`);
+- after acceptance: dt_old <- dt, dt <- controller(dt, error history)
+  (PID by default, `examples/streamer_discharge/fedm-streamer.py:335-341`).
+
+Numerical failure recovery doubles as the framework's fault handling, as in
+the reference (SURVEY.md section 5, failure detection).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DOLFIN_EPS
+from ..model.system import CoupledSystem, StepParams
+from .controllers import adaptive_timestep
+
+Array = jax.Array
+
+
+def step_error_norm(var_new: Array, var_old: Array) -> Array:
+    """Relative l2 step error with the reference's DOLFIN_EPS shift
+    (`fedm/functions.py:1062-1064`)."""
+    num = jnp.linalg.norm(var_new - var_old + DOLFIN_EPS)
+    den = jnp.linalg.norm(var_old + DOLFIN_EPS)
+    return num / den
+
+
+@dataclass
+class TimeState:
+    """Everything needed to advance (and to checkpoint/resume — an upgrade
+    over the reference, which cannot restart; SURVEY.md section 5)."""
+
+    u: Array          # current solution [n_dofs, n_eq]
+    u_old: Array
+    u_old1: Array
+    t: float = 0.0
+    dt: float = 1e-13
+    dt_old: float = 1e30
+    max_error: list = field(default_factory=lambda: [1.0, 1.0, 1.0])
+    n_accepted: int = 0
+    n_rejected: int = 0
+
+
+class AdaptiveDriver:
+    def __init__(
+        self,
+        system: CoupledSystem,
+        monitor_idx: int,
+        ttol: float,
+        dt_min: float,
+        dt_max: float,
+        controller: Callable = adaptive_timestep,
+        error_log: Optional[Path] = None,
+        max_retries: int = 60,
+        verbose: bool = False,
+    ):
+        self.system = system
+        self.monitor_idx = monitor_idx
+        self.ttol = ttol
+        self.dt_min = dt_min
+        self.dt_max = dt_max
+        self.controller = controller
+        self.error_log = Path(error_log) if error_log is not None else None
+        self.max_retries = max_retries
+        self.verbose = verbose
+
+    def _log_error(self, err: float, dt_old: float, dt: float) -> None:
+        if self.error_log is None:
+            return
+        with open(self.error_log, "a") as f:
+            f.write(f"{err:<23}  {dt_old:<23}  {dt:<23}\n")
+
+    def advance(self, state: TimeState, aux: Dict) -> TimeState:
+        """One *accepted* BDF step (with as many rejected attempts as the
+        error control demands). Rotates history first, like the reference
+        scripts (`fedm-gd.py:421-427`)."""
+        u_old1, u_old = state.u_old, state.u
+        dt, dt_old = state.dt, state.dt_old
+
+        for _ in range(self.max_retries):
+            t_try = state.t + dt
+            params = StepParams(
+                jnp.asarray(t_try), jnp.asarray(dt), jnp.asarray(dt_old)
+            )
+            if self.verbose:
+                print(f"Attempting to solve the equation for t = {t_try} "
+                      f"with dt = {dt}", flush=True)
+            u_new, info = self.system.step(u_old, u_old, u_old1, aux, params)
+            if bool(info.converged):
+                err = float(
+                    step_error_norm(
+                        u_new[:, self.monitor_idx], u_old[:, self.monitor_idx]
+                    )
+                )
+                self._log_error(err, dt_old, dt)
+                if err < self.ttol:
+                    # accepted: controller proposes the next dt
+                    max_error = [err, state.max_error[0], state.max_error[1]]
+                    new_dt = self.controller(
+                        dt, max_error, self.ttol, self.dt_min, self.dt_max
+                    )
+                    return TimeState(
+                        u=u_new, u_old=u_old, u_old1=u_old1,
+                        t=t_try, dt=new_dt, dt_old=dt,
+                        max_error=max_error,
+                        n_accepted=state.n_accepted + 1,
+                        n_rejected=state.n_rejected,
+                    )
+                dt = dt * 0.5 * self.ttol / err
+                state.n_rejected += 1
+            else:
+                dt = dt * 0.5
+                state.n_rejected += 1
+            if dt < self.dt_min:
+                raise SystemExit(
+                    "Minimum time-step size reached, program is terminating."
+                )
+        raise SystemExit(
+            f"adaptive driver: no accepted step after {self.max_retries} retries"
+        )
