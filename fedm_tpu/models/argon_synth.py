@@ -1,0 +1,186 @@
+"""Synthetic argon input-tree generator (reference on-disk formats).
+
+The reference's glow-discharge workload reads its chemistry from a
+`file_input/<model>/` tree of config + LUT files (the `4_particles` model,
+Becker et al. CPC 180 (2009) 1230 data). That data is not redistributed
+here; instead this module *generates* a physically-plausible three-level
+argon dataset from standard closed-form rate fits (Lymberopoulos &
+Economou, J. Appl. Phys. 73 (1993) 3668 style Arrhenius forms) and writes
+it in the exact formats the parsers consume — so the full pipeline
+(speclist -> reaction matrices -> LUTs -> interpolation -> sources) is
+exercised end-to-end, and a user can swap in the real Becker tables
+unchanged.
+
+Scheme (same structure as the reference's
+`tests/integrated_tests/glow_discharge/file_input/4_particles/reacscheme.cfg`):
+
+  Ar[1p0] + e   -> Ar[*] + e            ex    Uin: 11.55   k_001
+  Ar[1p0] + e   -> Ar[+] + e + e        io    Uin: 15.76   k_002
+  Ar[*] + e     -> Ar[1p0] + e          deex  Uin: -11.55  k_003
+  Ar[*] + e     -> Ar[+] + e + e        io    Uin: 4.21    k_004
+  Ar[*] + Ar[*] -> Ar[+] + e + Ar[1p0]  chio  Uin: -7.34   k_005
+  Ar[*]         -> 0                    loss  Uin: 0       k_lifetime
+  Ar[1p0] + e   -> Ar[1p0] + e          el    Uin: 1.0     Pelastic
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import M_atomic, kB, me
+
+M_AR = 39.948 * M_atomic
+
+_HEADER = """\
+################################################################################
+#
+# Description: {desc}
+# Data source: synthetic fit (fedm_tpu.models.argon_synth)
+# Data:        {data}
+# Dependence:  {dep}
+#
+################################################################################
+
+"""
+
+
+def _write_lut(path: Path, desc: str, data: str, dep: str, kx, ky) -> None:
+    with open(path, "w") as f:
+        f.write(_HEADER.format(desc=desc, data=data, dep=dep))
+        for x, y in zip(kx, ky):
+            f.write(f"{x:.6E}    {y:.6E}\n")
+
+
+def _write_const(path: Path, desc: str, data: str, value: float) -> None:
+    with open(path, "w") as f:
+        f.write(_HEADER.format(desc=desc, data=data, dep="const"))
+        f.write(f"{value:.6E}\n")
+
+
+# closed-form fits (mean energy eps in eV; Te = 2*eps/3)
+def k_excitation(eps):
+    return 2.48e-14 * eps**0.33 * np.exp(-12.78 / np.maximum(eps, 1e-3))
+
+
+def k_ionization(eps):
+    return 2.34e-14 * eps**0.59 * np.exp(-17.44 / np.maximum(eps, 1e-3))
+
+
+def k_deexcitation(eps):
+    return 4.3e-16 * eps**0.74
+
+
+def k_stepwise_ionization(eps):
+    return 6.8e-15 * eps**0.67 * np.exp(-4.20 / np.maximum(eps, 1e-3))
+
+
+def p_elastic(eps):
+    # elastic energy-loss coefficient per gas atom: 3 (me/M) k_el * (2 eps/3)
+    k_el = 1.0e-13 * np.sqrt(np.maximum(eps, 1e-6)) / (1.0 + 0.1 * eps)
+    return 3.0 * (me / M_AR) * k_el * (2.0 * eps / 3.0)
+
+
+def n_mu_electron(eps):
+    # N*mu_e [1/(V m s)], weakly energy dependent
+    return 1.0e25 / np.sqrt(1.0 + eps / 4.0)
+
+
+def n_d_electron(eps):
+    # Einstein-like: N*D = N*mu * (2 eps / 3)
+    return n_mu_electron(eps) * (2.0 * eps / 3.0)
+
+
+def n_mu_ion(red_field):
+    # N*mu_i [1/(V m s)] vs E/N [Td], mild field dependence
+    return 4.65e21 / np.sqrt(1.0 + (red_field / 100.0) ** 2) + 1.0e21
+
+
+K_CHEMO = 6.2e-16      # Ar* + Ar* -> Ar+ + e + Ar [m^3/s]
+K_LIFETIME = 3.145e5   # effective Ar* loss [1/s]
+N_D_ARSTAR = 2.42e20   # N*D for Ar* [1/(m s)]
+
+SPECLIST = """\
+# species list (synthetic argon model)
+Ar[1p0]     file: Ar_1p0.cfg
+Ar[*]       file: Ar_star.cfg
+Ar[+]       file: Ar_plus.cfg
+e           file: electrons.cfg
+
+nInd = [0, 1]
+iInd = 2
+eInd = 3
+"""
+
+REACSCHEME = """\
+# 3-level argon model: electrons (e), ions (Ar[+]), excited atoms (Ar[*])
+Ar[1p0] + e   -> Ar[*] + e              Type: ex    Uin: 11.55      Qfile: Q1.dat    kfile: k_001.dat
+Ar[1p0] + e   -> Ar[+] + e + e          Type: io    Uin: 15.76      Qfile: Q2.dat    kfile: k_002.dat
+Ar[*] + e     -> Ar[1p0] + e            Type: deex  Uin: -11.55     Qfile: Q3.dat    kfile: k_003.dat
+Ar[*] + e     -> Ar[+] + e + e          Type: io    Uin: 4.21       Qfile: Q4.dat    kfile: k_004.dat
+Ar[*] + Ar[*] -> Ar[+] + e + Ar[1p0]    Type: chio  Uin: -7.34      Qfile: Q5.dat    kfile: k_005.dat
+Ar[*]         -> 0                      Type: loss  Uin: 0          Qfile: Q6.dat    kfile: k_lifetime.dat
+
+# electron energy loss by elastic collisions (Uin = 1: loss = Pelastic*N*ne)
+Ar[1p0] + e -> Ar[1p0] + e          Type: el    Uin: 1.0        Qfile: Q1.dat    kfile: Pelastic.dat
+"""
+
+SPECIES = {
+    "Ar_1p0.cfg": ("0", 6.633521e-26, 3),
+    "Ar_star.cfg": ("0", 6.633521e-26, 2),
+    "Ar_plus.cfg": ("1", 6.63352032e-26, 2),
+    "electrons.cfg": ("-1", 9.10938356e-31, 3),
+}
+
+
+def generate_argon_input(base: Path, model: str = "argon_synth") -> Path:
+    """Write the full input tree under `base/<model>/`; returns the model
+    directory. `base` plays the role of `files.file_input`."""
+    base = Path(base)
+    root = base / model
+    (root / "rate_coefficients").mkdir(parents=True, exist_ok=True)
+    (root / "transport_coefficients").mkdir(exist_ok=True)
+    (root / "species").mkdir(exist_ok=True)
+
+    (root / "speclist.cfg").write_text(SPECLIST)
+    (root / "reacscheme.cfg").write_text(REACSCHEME)
+    for name, (z, mass, nmom) in SPECIES.items():
+        (root / "species" / name).write_text(
+            f"Z    = {z}\nMass = {mass}\nNmom = {nmom}\n")
+
+    eps = np.geomspace(0.01, 100.0, 200)  # mean energy grid [eV]
+    rc = root / "rate_coefficients"
+    _write_lut(rc / "k_001.dat", "excitation rate", "Umean [eV]  k [m^3/s]",
+               "Umean", eps, k_excitation(eps))
+    _write_lut(rc / "k_002.dat", "ionisation rate", "Umean [eV]  k [m^3/s]",
+               "Umean", eps, k_ionization(eps))
+    _write_lut(rc / "k_003.dat", "deexcitation rate", "Umean [eV]  k [m^3/s]",
+               "Umean", eps, k_deexcitation(eps))
+    _write_lut(rc / "k_004.dat", "stepwise ionisation rate",
+               "Umean [eV]  k [m^3/s]", "Umean", eps,
+               k_stepwise_ionization(eps))
+    _write_const(rc / "k_005.dat", "chemoionisation rate", "const k [m^3/s]",
+                 K_CHEMO)
+    _write_const(rc / "k_lifetime.dat", "metastable loss", "const k [1/s]",
+                 K_LIFETIME)
+    _write_lut(rc / "Pelastic.dat", "elastic energy loss",
+               "Umean [eV]  Pelastic/N [eV m^3/s]", "Umean", eps,
+               p_elastic(eps))
+
+    tc = root / "transport_coefficients"
+    _write_const(tc / "Ar_1p0_ND.dat", "background diffusion",
+                 "const N*D [1/(m s)]", 0.0)
+    _write_const(tc / "Ar_star_ND.dat", "metastable diffusion",
+                 "const N*D [1/(m s)]", N_D_ARSTAR)
+    red = np.geomspace(0.1, 2000.0, 120)  # E/N grid [Td]
+    _write_lut(tc / "Ar_plus_Nb.dat", "ion mobility", "E/N [Td]  N*b [1/(V m s)]",
+               "E/N", red, n_mu_ion(red))
+    with open(tc / "Ar_plus_ND.dat", "w") as f:
+        f.write(_HEADER.format(desc="ion diffusion (Einstein relation)",
+                               data="ESR", dep="ESR"))
+    _write_lut(tc / "electrons_Nb.dat", "electron mobility",
+               "Umean [eV]  N*b [1/(V m s)]", "Umean", eps, n_mu_electron(eps))
+    _write_lut(tc / "electrons_ND.dat", "electron diffusion",
+               "Umean [eV]  N*D [1/(m s)]", "Umean", eps, n_d_electron(eps))
+    return root
