@@ -107,6 +107,39 @@ class CellBatch:
         self.x_q = jnp.asarray(x_q, dtype)
         self.dofs = jnp.asarray(space.cell_dofs, jnp.int32)
 
+    # -- sharding support ---------------------------------------------------
+    # The per-cell arrays form the shardable leading axis; `local_view`
+    # rebinds them to a device-local shard inside `shard_map` (see
+    # fedm_tpu.parallel.shard).
+
+    SHARD_FIELDS = ("grads", "scale", "x_q", "dofs")
+
+    def shard_arrays(self):
+        return tuple(getattr(self, f) for f in self.SHARD_FIELDS)
+
+    def local_view(self, *arrays) -> "CellBatch":
+        import copy
+
+        view = copy.copy(self)
+        for f, a in zip(self.SHARD_FIELDS, arrays):
+            setattr(view, f, a)
+        return view
+
+    def pad_to(self, multiple: int) -> None:
+        """Pad the cell axis to a multiple of `multiple` with zero-weight
+        duplicates of cell 0 (scale=0 -> no contribution, dofs valid)."""
+        n = self.scale.shape[0]
+        target = -(-n // multiple) * multiple
+        extra = target - n
+        if extra == 0:
+            return
+        for f in self.SHARD_FIELDS:
+            a = getattr(self, f)
+            pad = jnp.repeat(a[:1], extra, axis=0)
+            if f == "scale":
+                pad = jnp.zeros_like(pad)
+            setattr(self, f, jnp.concatenate([a, pad], axis=0))
+
     # -- evaluation (on gathered element values) ---------------------------
 
     def gather(self, u: Array) -> Array:
@@ -268,6 +301,13 @@ class FacetBatch:
         self.normal = jnp.asarray(normals, dtype)
         self.x_q = jnp.asarray(x_q, dtype)
         self.dofs = jnp.asarray(space.cell_dofs[cells_adj], jnp.int32)
+
+    # sharding support (facet axis is leading on every per-facet array,
+    # including N which varies per facet here)
+    SHARD_FIELDS = ("N", "grads", "scale", "normal", "x_q", "dofs")
+    shard_arrays = CellBatch.shard_arrays
+    local_view = CellBatch.local_view
+    pad_to = CellBatch.pad_to
 
     def gather(self, u: Array) -> Array:
         return u[self.dofs]

@@ -68,6 +68,7 @@ class CoupledSystem:
         self.cell_kernel: Optional[Callable] = None
         self.facet_kernels: List[Tuple[FacetBatch, Callable]] = []
         self._step_jit = None
+        self.spmd: Optional[Tuple] = None  # (jax Mesh, axis name)
 
     def set_cell_kernel(self, fn: Callable) -> None:
         self.cell_kernel = fn
@@ -93,21 +94,78 @@ class CoupledSystem:
         yield self.cell_batch, self.cell_kernel
         yield from self.facet_kernels
 
+    # -- multi-chip sharding ------------------------------------------------
+
+    def shard(self, device_mesh, axis: str = "space") -> None:
+        """Distribute element/facet work over `device_mesh[axis]` — the
+        TPU-native replacement for the reference's MPI mesh partitioning
+        (SURVEY.md section 2.4): per-cell data is sharded along the leading
+        axis, the state stays replicated, and assembly becomes local
+        segment-sums + one psum over the axis. Collectives ride ICI; the
+        Krylov/Newton iterations outside operate on replicated arrays."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = device_mesh.shape[axis]
+        for batch, _ in self._batches():
+            batch.pad_to(n_dev)
+            sharded = tuple(
+                jax.device_put(a, NamedSharding(device_mesh, P(axis)))
+                for a in batch.shard_arrays()
+            )
+            batch.local_view(*sharded)  # validate shapes
+            for f, a in zip(batch.SHARD_FIELDS, sharded):
+                setattr(batch, f, a)
+        self.spmd = (device_mesh, axis)
+        self._step_jit = None
+
+    def _assemble(self, u, u_old, u_old1, aux: Dict, params: StepParams):
+        """Raw (un-BC'd) residual assembly over all batches; SPMD-aware."""
+        if self.spmd is None:
+            out = jnp.zeros((self.n_dofs, self.n_eq), u.dtype)
+            for batch, kernel in self._batches():
+                ctx = self._make_ctx(batch, u_old, u_old1, aux, params)
+                out = out + batch.scatter(kernel(batch, batch.gather(u), ctx))
+            return out
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        device_mesh, axis = self.spmd
+        batches = list(self._batches())
+        flat_arrays, array_specs, counts = [], [], []
+        for batch, _ in batches:
+            arrs = batch.shard_arrays()
+            flat_arrays += list(arrs)
+            array_specs += [P(axis)] * len(arrs)
+            counts.append(len(arrs))
+
+        def body(u, u_old, u_old1, aux, params, *arrays):
+            out = jnp.zeros((self.n_dofs, self.n_eq), u.dtype)
+            i = 0
+            for (batch, kernel), c in zip(batches, counts):
+                local = batch.local_view(*arrays[i : i + c])
+                i += c
+                ctx = self._make_ctx_local(local, u_old, u_old1, aux, params)
+                out = out + local.scatter(kernel(local, local.gather(u), ctx))
+            return jax.lax.psum(out, axis)
+
+        fn = shard_map(
+            body, mesh=device_mesh,
+            in_specs=(P(), P(), P(), P(), P(), *array_specs),
+            out_specs=P(),
+        )
+        return fn(u, u_old, u_old1, aux, params, *flat_arrays)
+
+    def _make_ctx_local(self, batch, u_old, u_old1, aux, params):
+        return self._make_ctx(batch, u_old, u_old1, aux, params)
+
     # -- residual -----------------------------------------------------------
 
     def make_residual_fn(self, u_old, u_old1, aux: Dict, params: StepParams):
-        """Returns F(u) with history/aux gathers hoisted out of the Newton
-        loop (they are constant within a step)."""
         g = self.bcs.values(params.t)
-        prepared = [
-            (batch, kernel, self._make_ctx(batch, u_old, u_old1, aux, params))
-            for batch, kernel in self._batches()
-        ]
 
         def F(u):
-            out = jnp.zeros((self.n_dofs, self.n_eq), u.dtype)
-            for batch, kernel, ctx in prepared:
-                out = out + batch.scatter(kernel(batch, batch.gather(u), ctx))
+            out = self._assemble(u, u_old, u_old1, aux, params)
             return self.bcs.apply_to_residual(out, u, g)
 
         return F
@@ -118,9 +176,47 @@ class CoupledSystem:
     # -- node-block Jacobi preconditioner ------------------------------------
 
     def _jacobian_blocks(self, u, u_old, u_old1, aux, params):
-        """Exact per-dof diagonal blocks B[n, i, j] = dF_i/du_j at dof n."""
+        """Exact per-dof diagonal blocks B[n, i, j] = dF_i/du_j at dof n;
+        SPMD-aware like `_assemble`."""
+        if self.spmd is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            device_mesh, axis = self.spmd
+            batches = list(self._batches())
+            flat_arrays, array_specs, counts = [], [], []
+            for batch, _ in batches:
+                arrs = batch.shard_arrays()
+                flat_arrays += list(arrs)
+                array_specs += [P(axis)] * len(arrs)
+                counts.append(len(arrs))
+
+            def body(u, u_old, u_old1, aux, params, *arrays):
+                local_batches = []
+                i = 0
+                for (batch, kernel), c in zip(batches, counts):
+                    local_batches.append(
+                        (batch.local_view(*arrays[i : i + c]), kernel))
+                    i += c
+                blocks = self._local_blocks(
+                    local_batches, u, u_old, u_old1, aux, params)
+                return jax.lax.psum(blocks, axis)
+
+            blocks = shard_map(
+                body, mesh=device_mesh,
+                in_specs=(P(), P(), P(), P(), P(), *array_specs),
+                out_specs=P(),
+            )(u, u_old, u_old1, aux, params, *flat_arrays)
+        else:
+            blocks = self._local_blocks(
+                list(self._batches()), u, u_old, u_old1, aux, params)
+        # Dirichlet rows -> identity rows
+        eye_rows = jnp.eye(self.n_eq, dtype=u.dtype)[None]
+        return jnp.where(self.bcs.mask[:, :, None], eye_rows, blocks)
+
+    def _local_blocks(self, batches, u, u_old, u_old1, aux, params):
         blocks = jnp.zeros((self.n_dofs, self.n_eq, self.n_eq), u.dtype)
-        for batch, kernel in self._batches():
+        for batch, kernel in batches:
             ctx = self._make_ctx(batch, u_old, u_old1, aux, params)
             u_e = batch.gather(u)
             n_local = u_e.shape[1]
@@ -144,9 +240,6 @@ class CoupledSystem:
             blocks = blocks + jax.ops.segment_sum(
                 flat, batch.dofs.reshape(-1), num_segments=self.n_dofs
             )
-        # Dirichlet rows -> identity rows
-        eye_rows = jnp.eye(self.n_eq, dtype=u.dtype)[None]
-        blocks = jnp.where(self.bcs.mask[:, :, None], eye_rows, blocks)
         return blocks
 
     def block_precond_builder(self, u_old, u_old1, aux, params):
