@@ -19,12 +19,16 @@ REFERENCE_ESTIMATE = 2.0e4
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
 
     nx, ny = 96, 192
-    cfg = StreamerConfig(nx=nx, ny=ny)
+    # f32 fields + f64 Krylov reductions (increment formulation keeps the
+    # per-step differences fully precise; verified against the f64 path)
+    cfg = StreamerConfig(nx=nx, ny=ny, dtype=jnp.float32)
     model = StreamerModel(cfg)
+    model.system.use_gather_scatter()  # ELL assembly: no TPU scatter-adds
     n_unknowns = model.space.n_dofs * model.n_eq
     print(f"bench: streamer {nx}x{ny}, {model.space.n_dofs} nodes, "
           f"{n_unknowns} unknowns on {jax.devices()[0]}", file=sys.stderr)

@@ -26,10 +26,16 @@ performance experiments on TPU).
 
 import os
 
-if not os.environ.get("FEDM_TPU_NO_X64"):
-    import jax
+import jax
 
+if not os.environ.get("FEDM_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
+
+# On TPU, f32 contractions default to bf16 MXU passes; FEM assembly and the
+# stiff chemistry are far too cancellation-sensitive for that. Force full
+# f32 matmul precision library-wide (the hot einsums have tiny contraction
+# dims and never exploit the MXU anyway).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from . import constants  # noqa: E402
 

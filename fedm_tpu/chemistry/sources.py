@@ -34,7 +34,12 @@ def reaction_rates(k: Array, power_matrix, ln_n: Array) -> Array:
     (including the background gas at column 0). Returns [..., n_r].
     """
     P = jnp.asarray(power_matrix, ln_n.dtype)
-    return k * jnp.exp(ln_n @ P.T)
+    x = ln_n @ P.T
+    # exp(x) can overflow f32 as an intermediate (e.g. N0*n_e ~ 2e38 for a
+    # two-body rate) even though k*exp(x) is moderate; k*exp(x/2)*exp(x/2)
+    # is exact and keeps every factor in range
+    half = jnp.exp(0.5 * x)
+    return (k * half) * half
 
 
 def species_sources(rates: Array, loss_matrix, gain_matrix) -> Array:

@@ -56,7 +56,9 @@ class CellBatch:
     """
 
     def __init__(self, space: FunctionSpace, quad_degree: int = 4,
-                 axisymmetric: bool = False, dtype=jnp.float64):
+                 axisymmetric: bool = False, dtype=None):
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
+                                              else dtype)
         mesh = space.mesh
         self.space = space
         self.axisymmetric = axisymmetric
@@ -112,7 +114,15 @@ class CellBatch:
     # rebinds them to a device-local shard inside `shard_map` (see
     # fedm_tpu.parallel.shard).
 
-    SHARD_FIELDS = ("grads", "scale", "x_q", "dofs")
+    _SHARD_FIELDS = ("grads", "scale", "x_q", "dofs")
+    gather_idx = None  # optional ELL scatter metadata [n_blocks, n_dofs, v]
+    _meta_blocks = 1
+
+    @property
+    def SHARD_FIELDS(self):
+        if self.gather_idx is not None:
+            return self._SHARD_FIELDS + ("gather_idx",)
+        return self._SHARD_FIELDS
 
     def shard_arrays(self):
         return tuple(getattr(self, f) for f in self.SHARD_FIELDS)
@@ -133,12 +143,44 @@ class CellBatch:
         extra = target - n
         if extra == 0:
             return
-        for f in self.SHARD_FIELDS:
+        for f in self._SHARD_FIELDS:
             a = getattr(self, f)
             pad = jnp.repeat(a[:1], extra, axis=0)
             if f == "scale":
                 pad = jnp.zeros_like(pad)
             setattr(self, f, jnp.concatenate([a, pad], axis=0))
+        if self.gather_idx is not None:
+            self.build_scatter_meta(self._meta_blocks)
+
+    # -- gather-based (ELL) assembly ----------------------------------------
+
+    def build_scatter_meta(self, n_blocks: int = 1) -> None:
+        """Switch `scatter` from scatter-add segment-sum to a pure
+        gather+sum: per destination dof, the (static) flat positions of its
+        contributions, padded with a sentinel that reads an appended zero
+        row. TPU executes gathers far better than scatter-adds — this is
+        the ELL-layout assembly of SURVEY.md section 7 stage 9.
+
+        With `n_blocks` > 1 the metadata is built per contiguous cell block
+        (one per device shard) with block-local flat indices; the leading
+        axis then shards alongside the other per-cell arrays.
+        """
+        dofs = np.asarray(self.dofs)
+        L = dofs.size // n_blocks  # flat contributions per block
+        flat = dofs.reshape(n_blocks, L)
+        max_val = 0
+        for b in range(n_blocks):
+            max_val = max(max_val, int(np.bincount(
+                flat[b], minlength=self.n_dofs).max()))
+        idx = np.full((n_blocks, self.n_dofs, max_val), L, dtype=np.int64)
+        for b in range(n_blocks):
+            order = np.argsort(flat[b], kind="stable")
+            sorted_d = flat[b][order]
+            seg_start = np.searchsorted(sorted_d, np.arange(self.n_dofs))
+            ranks = np.arange(L) - seg_start[sorted_d]
+            idx[b, sorted_d, ranks] = order
+        self.gather_idx = jnp.asarray(idx, jnp.int32)
+        self._meta_blocks = n_blocks
 
     # -- evaluation (on gathered element values) ---------------------------
 
@@ -171,12 +213,18 @@ class CellBatch:
         return jnp.einsum("cqad,cqd...->ca...", self.grads, Gs)
 
     def scatter(self, contrib: Array) -> Array:
-        """[n_cells, n_local, ...] -> global [n_dofs, ...] via segment-sum."""
+        """[n_cells, n_local, ...] -> global [n_dofs, ...]: ELL gather+sum
+        when metadata is built (TPU-friendly), else segment-sum."""
         trailing = contrib.shape[2:]
         flat = contrib.reshape((-1,) + trailing)
-        out = jax.ops.segment_sum(flat, self.dofs.reshape(-1),
-                                  num_segments=self.n_dofs)
-        return out
+        if self.gather_idx is not None:
+            idx = self.gather_idx
+            idx = idx[0] if idx.ndim == 3 else idx
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((1,) + trailing, flat.dtype)], axis=0)
+            return jnp.take(flat, idx, axis=0).sum(axis=1)
+        return jax.ops.segment_sum(flat, self.dofs.reshape(-1),
+                                   num_segments=self.n_dofs)
 
     def integrate(self, s: Array) -> Array:
         """∫ s over the domain; s [n_cells, n_q, ...]."""
@@ -204,7 +252,9 @@ class FacetBatch:
 
     def __init__(self, space: FunctionSpace, markers: Union[int, list, None] = None,
                  quad_degree: int = 4, axisymmetric: bool = False,
-                 dtype=jnp.float64):
+                 dtype=None):
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
+                                              else dtype)
         mesh = space.mesh
         self.space = space
         self.dtype = dtype
@@ -304,10 +354,14 @@ class FacetBatch:
 
     # sharding support (facet axis is leading on every per-facet array,
     # including N which varies per facet here)
-    SHARD_FIELDS = ("N", "grads", "scale", "normal", "x_q", "dofs")
+    _SHARD_FIELDS = ("N", "grads", "scale", "normal", "x_q", "dofs")
+    gather_idx = None
+    _meta_blocks = 1
+    SHARD_FIELDS = CellBatch.SHARD_FIELDS
     shard_arrays = CellBatch.shard_arrays
     local_view = CellBatch.local_view
     pad_to = CellBatch.pad_to
+    build_scatter_meta = CellBatch.build_scatter_meta
 
     def gather(self, u: Array) -> Array:
         return u[self.dofs]
@@ -325,11 +379,7 @@ class FacetBatch:
         """∮ s φ_a : s [n_f, n_q, ...] -> [n_f, n_local, ...]."""
         return jnp.einsum("fqa,fq...->fa...", self.N, s * _scale_like(self.scale, s))
 
-    def scatter(self, contrib: Array) -> Array:
-        trailing = contrib.shape[2:]
-        flat = contrib.reshape((-1,) + trailing)
-        return jax.ops.segment_sum(flat, self.dofs.reshape(-1),
-                                   num_segments=self.n_dofs)
+    scatter = CellBatch.scatter
 
     def integrate(self, s: Array) -> Array:
         return jnp.sum(s * _scale_like(self.scale, s), axis=(0, 1))
@@ -339,9 +389,11 @@ class FacetBatch:
 
 
 def interpolate(fn: Union[Callable, float], space: FunctionSpace,
-                dtype=jnp.float64) -> Array:
+                dtype=None) -> Array:
     """Nodal interpolation: evaluate `fn(coords) -> values` at dof coordinates
     (dolfin `interpolate(Expression, V)` analog for Lagrange spaces)."""
+    dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
+                                          else dtype)
     if callable(fn):
         vals = np.asarray(fn(space.dof_coords))
         if vals.ndim == 0:
@@ -352,7 +404,7 @@ def interpolate(fn: Union[Callable, float], space: FunctionSpace,
 
 
 def project(s_q: Array, batch: CellBatch, lumped: bool = False,
-            tol: float = 1e-12, maxiter: int = 200) -> Array:
+            tol: float = None, maxiter: int = 200) -> Array:
     """L2-project quadrature-point values `s_q [n_cells, n_q]` onto the space.
 
     Solves M x = b. The consistent mass solve mirrors the reference's
@@ -360,6 +412,8 @@ def project(s_q: Array, batch: CellBatch, lumped: bool = False,
     there via MUMPS); `lumped=True` uses the row-sum mass diagonal instead
     (diagonal solve, no iteration — faster, slightly more diffusive).
     """
+    if tol is None:
+        tol = 1e-12 if batch.dtype == jnp.float64 else 1e-6
     b = batch.scatter(batch.mass(s_q))
     ones_q = jnp.ones_like(batch.scale)
     lump = batch.scatter(batch.mass(ones_q))

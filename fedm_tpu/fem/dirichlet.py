@@ -62,11 +62,11 @@ class BCSet:
 
     def apply_to_residual(self, F: Array, u: Array, g: Array) -> Array:
         """Replace constrained residual entries by `u - g`."""
-        return jnp.where(self.mask, u - g, F)
+        return jnp.where(self.mask, u - g.astype(u.dtype), F)
 
     def apply_values(self, u: Array, g: Array) -> Array:
         """Overwrite constrained entries of `u` with their BC values."""
-        return jnp.where(self.mask, g, u)
+        return jnp.where(self.mask, g.astype(u.dtype), u)
 
 
 def combine_bcs(space: FunctionSpace, n_eq: int, bcs: list) -> BCSet:

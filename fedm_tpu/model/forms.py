@@ -80,12 +80,25 @@ def drift_diffusion_flux(
     return diffusion + drift
 
 
+def bdf2_increment_part(delta_q, d_hist_q, dt, dt_old):
+    """The BDF2 combination expressed in increments: with delta = u - u_old
+    and d_hist = u_old - u_old1, the ratio-weighted form rewrites EXACTLY as
+    ((1+2r) delta - r^2 d_hist)/(1+r) — the coefficients of
+    `bdf2_history_part` sum to zero. Differences are formed in the state's
+    storage precision before entering f32 kernels (see
+    fedm_tpu.model.system docstring)."""
+    tr = dt / dt_old
+    trp1 = 1.0 + tr
+    tr2p1 = 1.0 + 2.0 * tr
+    return (delta_q * tr2p1 - tr * tr * d_hist_q) / trp1
+
+
 def balance_equation_contrib(
     batch: CellBatch,
     equation_type: str,
-    u_e: Array,
+    delta_e: Array,
     u_old_e: Array,
-    u_old1_e: Array,
+    d_hist_e: Array,
     dt,
     dt_old,
     f_q: Array,
@@ -94,16 +107,18 @@ def balance_equation_contrib(
     log_representation: bool = True,
 ):
     """Residual contribution [n_cells, n_local] of one balance equation
-    (`fedm/functions.py:240-368`): time term minus flux term minus source.
+    (`fedm/functions.py:240-368`): time term minus flux term minus source,
+    in the increment formulation (delta_e = gathered u - u_old,
+    d_hist_e = gathered u_old - u_old1).
 
     equation_type: 'reaction' | 'diffusion-reaction' |
     'drift-diffusion-reaction'. For diffusion-reaction the flux -∇(D n) is
     built here from D_e; for drift-diffusion-reaction pass Gamma_q (built
-    with `drift_diffusion_flux`).
+    with `drift_diffusion_flux` from u_old_e + delta_e).
     """
-    u_q = batch.value(u_e)
-    u_part = bdf2_history_part(
-        u_q, batch.value(u_old_e), batch.value(u_old1_e), dt, dt_old
+    u_q = batch.value(u_old_e) + batch.value(delta_e)
+    u_part = bdf2_increment_part(
+        batch.value(delta_e), batch.value(d_hist_e), dt, dt_old
     )
     weight = jnp.exp(u_q) if log_representation else 1.0
     contrib = batch.mass(weight * u_part / dt)
@@ -111,6 +126,7 @@ def balance_equation_contrib(
     if equation_type == "diffusion-reaction":
         if D_e is None:
             raise ValueError("diffusion-reaction requires D_e")
+        u_e = u_old_e + delta_e
         n_q = jnp.exp(u_q) if log_representation else u_q
         gu_q = batch.grad(u_e)
         gn_q = n_q[..., None] * gu_q if log_representation else gu_q

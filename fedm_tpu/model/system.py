@@ -5,9 +5,18 @@ all equations (energy + species + Poisson) in one mixed space solved
 monolithically each step (`examples/glow_discharge/fedm-gd.py:344-413`).
 The state is a dense `u[n_dofs, n_eq]` array; a model contributes
 
-  cell_kernel(batch, u_e, ctx)  -> [n_cells, n_local, n_eq]
-  facet kernels (per marked boundary)
-                                -> [n_f, n_local, n_eq]
+  cell_kernel(batch, delta_e, ctx)  -> [n_cells, n_local, n_eq]
+  facet kernels (per marked boundary) -> [n_f, n_local, n_eq]
+
+Increment formulation: the Newton unknown is delta = u - u_old, not u.
+Mathematically identical (the BDF2 combination rewrites exactly as
+(1+2r)*delta - r^2*(u_old - u_old1), both differences formed in the
+state's storage precision), it is what makes the f32 compute path viable:
+log-densities are O(40) while per-step increments are O(1e-4), so storing
+the absolute state in f32 would lose six digits of every difference.
+Kernels reconstruct the absolute state as ctx['u_old'] + delta_e where
+exponentials need it. History differences arrive precomputed in ctx as
+'d_hist' = u_old - u_old1.
 
 written with the building blocks in `forms.py`. From those kernels this
 class derives, automatically via autodiff:
@@ -76,9 +85,20 @@ class CoupledSystem:
     def add_facet_kernel(self, batch: FacetBatch, fn: Callable) -> None:
         self.facet_kernels.append((batch, fn))
 
+    def use_gather_scatter(self) -> None:
+        """Switch assembly to the ELL gather+sum layout (TPU-preferred;
+        see CellBatch.build_scatter_meta)."""
+        for batch, _ in self._batches():
+            batch.build_scatter_meta(batch._meta_blocks)
+        self._step_jit = None
+
     # -- context ------------------------------------------------------------
 
-    def _make_ctx(self, batch, u_old, u_old1, aux: Dict, params: StepParams):
+    @property
+    def dtype(self):
+        return self.cell_batch.dtype
+
+    def _make_ctx(self, batch, u_old, d_hist, aux: Dict, params: StepParams):
         def maybe_gather(v):
             if isinstance(v, jax.Array) and v.ndim >= 1 and v.shape[0] == self.n_dofs:
                 return batch.gather(v)
@@ -86,9 +106,29 @@ class CoupledSystem:
 
         ctx = {name: maybe_gather(v) for name, v in aux.items()}
         ctx["u_old"] = batch.gather(u_old)
-        ctx["u_old1"] = batch.gather(u_old1)
+        ctx["d_hist"] = batch.gather(d_hist)
         ctx["params"] = params
         return ctx
+
+    def _cast_inputs(self, u_guess, u_old, u_old1, aux, params):
+        """Increment-mode precision handling: differences are formed in the
+        incoming (usually f64) state dtype, then everything is cast to the
+        batch compute dtype."""
+        dtype = self.dtype
+        delta0 = (u_guess - u_old).astype(dtype)
+        d_hist = (u_old - u_old1).astype(dtype)
+        g = self.bcs.values(params.t)
+        bc_shift = (u_old - g).astype(dtype)
+        u_old_c = u_old.astype(dtype)
+
+        def cast(v):
+            if isinstance(v, jax.Array) and jnp.issubdtype(v.dtype, jnp.floating):
+                return v.astype(dtype)
+            return v
+
+        aux_c = {k: cast(v) for k, v in aux.items()}
+        params_c = StepParams(*(jnp.asarray(x, dtype) for x in params))
+        return delta0, u_old_c, d_hist, aux_c, params_c, bc_shift
 
     def _batches(self):
         yield self.cell_batch, self.cell_kernel
@@ -108,6 +148,8 @@ class CoupledSystem:
         n_dev = device_mesh.shape[axis]
         for batch, _ in self._batches():
             batch.pad_to(n_dev)
+            if batch.gather_idx is not None:
+                batch.build_scatter_meta(n_dev)
             sharded = tuple(
                 jax.device_put(a, NamedSharding(device_mesh, P(axis)))
                 for a in batch.shard_arrays()
@@ -118,13 +160,14 @@ class CoupledSystem:
         self.spmd = (device_mesh, axis)
         self._step_jit = None
 
-    def _assemble(self, u, u_old, u_old1, aux: Dict, params: StepParams):
+    def _assemble(self, delta, u_old, d_hist, aux: Dict, params: StepParams):
         """Raw (un-BC'd) residual assembly over all batches; SPMD-aware."""
         if self.spmd is None:
-            out = jnp.zeros((self.n_dofs, self.n_eq), u.dtype)
+            out = jnp.zeros((self.n_dofs, self.n_eq), delta.dtype)
             for batch, kernel in self._batches():
-                ctx = self._make_ctx(batch, u_old, u_old1, aux, params)
-                out = out + batch.scatter(kernel(batch, batch.gather(u), ctx))
+                ctx = self._make_ctx(batch, u_old, d_hist, aux, params)
+                out = out + batch.scatter(
+                    kernel(batch, batch.gather(delta), ctx))
             return out
 
         from jax.sharding import PartitionSpec as P
@@ -139,14 +182,15 @@ class CoupledSystem:
             array_specs += [P(axis)] * len(arrs)
             counts.append(len(arrs))
 
-        def body(u, u_old, u_old1, aux, params, *arrays):
-            out = jnp.zeros((self.n_dofs, self.n_eq), u.dtype)
+        def body(delta, u_old, d_hist, aux, params, *arrays):
+            out = jnp.zeros((self.n_dofs, self.n_eq), delta.dtype)
             i = 0
             for (batch, kernel), c in zip(batches, counts):
                 local = batch.local_view(*arrays[i : i + c])
                 i += c
-                ctx = self._make_ctx_local(local, u_old, u_old1, aux, params)
-                out = out + local.scatter(kernel(local, local.gather(u), ctx))
+                ctx = self._make_ctx(local, u_old, d_hist, aux, params)
+                out = out + local.scatter(
+                    kernel(local, local.gather(delta), ctx))
             return jax.lax.psum(out, axis)
 
         fn = shard_map(
@@ -154,19 +198,30 @@ class CoupledSystem:
             in_specs=(P(), P(), P(), P(), P(), *array_specs),
             out_specs=P(),
         )
-        return fn(u, u_old, u_old1, aux, params, *flat_arrays)
-
-    def _make_ctx_local(self, batch, u_old, u_old1, aux, params):
-        return self._make_ctx(batch, u_old, u_old1, aux, params)
+        return fn(delta, u_old, d_hist, aux, params, *flat_arrays)
 
     # -- residual -----------------------------------------------------------
 
+    def make_delta_residual_fn(self, u_old, d_hist, aux: Dict,
+                               params: StepParams, bc_shift):
+        """R(delta) with Dirichlet rows delta + (u_old - g)."""
+
+        def R(delta):
+            out = self._assemble(delta, u_old, d_hist, aux, params)
+            return jnp.where(self.bcs.mask, delta + bc_shift, out)
+
+        return R
+
     def make_residual_fn(self, u_old, u_old1, aux: Dict, params: StepParams):
-        g = self.bcs.values(params.t)
+        """Absolute-state residual F(u) (diagnostics / tests); assembled
+        through the increment path with delta = u - u_old."""
+        _, u_old_c, d_hist, aux_c, params_c, bc_shift = self._cast_inputs(
+            u_old, u_old, u_old1, aux, params)
+        R = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
+                                        bc_shift)
 
         def F(u):
-            out = self._assemble(u, u_old, u_old1, aux, params)
-            return self.bcs.apply_to_residual(out, u, g)
+            return R((u - u_old).astype(self.dtype))
 
         return F
 
@@ -175,9 +230,9 @@ class CoupledSystem:
 
     # -- node-block Jacobi preconditioner ------------------------------------
 
-    def _jacobian_blocks(self, u, u_old, u_old1, aux, params):
-        """Exact per-dof diagonal blocks B[n, i, j] = dF_i/du_j at dof n;
-        SPMD-aware like `_assemble`."""
+    def _jacobian_blocks(self, delta, u_old, d_hist, aux, params):
+        """Exact per-dof diagonal blocks B[n, i, j] = dR_i/d delta_j at dof
+        n; SPMD-aware like `_assemble`."""
         if self.spmd is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
@@ -191,7 +246,7 @@ class CoupledSystem:
                 array_specs += [P(axis)] * len(arrs)
                 counts.append(len(arrs))
 
-            def body(u, u_old, u_old1, aux, params, *arrays):
+            def body(delta, u_old, d_hist, aux, params, *arrays):
                 local_batches = []
                 i = 0
                 for (batch, kernel), c in zip(batches, counts):
@@ -199,28 +254,28 @@ class CoupledSystem:
                         (batch.local_view(*arrays[i : i + c]), kernel))
                     i += c
                 blocks = self._local_blocks(
-                    local_batches, u, u_old, u_old1, aux, params)
+                    local_batches, delta, u_old, d_hist, aux, params)
                 return jax.lax.psum(blocks, axis)
 
             blocks = shard_map(
                 body, mesh=device_mesh,
                 in_specs=(P(), P(), P(), P(), P(), *array_specs),
                 out_specs=P(),
-            )(u, u_old, u_old1, aux, params, *flat_arrays)
+            )(delta, u_old, d_hist, aux, params, *flat_arrays)
         else:
             blocks = self._local_blocks(
-                list(self._batches()), u, u_old, u_old1, aux, params)
+                list(self._batches()), delta, u_old, d_hist, aux, params)
         # Dirichlet rows -> identity rows
-        eye_rows = jnp.eye(self.n_eq, dtype=u.dtype)[None]
+        eye_rows = jnp.eye(self.n_eq, dtype=delta.dtype)[None]
         return jnp.where(self.bcs.mask[:, :, None], eye_rows, blocks)
 
-    def _local_blocks(self, batches, u, u_old, u_old1, aux, params):
-        blocks = jnp.zeros((self.n_dofs, self.n_eq, self.n_eq), u.dtype)
+    def _local_blocks(self, batches, delta, u_old, d_hist, aux, params):
+        blocks = jnp.zeros((self.n_dofs, self.n_eq, self.n_eq), delta.dtype)
         for batch, kernel in batches:
-            ctx = self._make_ctx(batch, u_old, u_old1, aux, params)
-            u_e = batch.gather(u)
+            ctx = self._make_ctx(batch, u_old, d_hist, aux, params)
+            u_e = batch.gather(delta)
             n_local = u_e.shape[1]
-            basis = jnp.eye(n_local * self.n_eq, dtype=u.dtype).reshape(
+            basis = jnp.eye(n_local * self.n_eq, dtype=delta.dtype).reshape(
                 -1, n_local, self.n_eq
             )
 
@@ -242,11 +297,11 @@ class CoupledSystem:
             )
         return blocks
 
-    def block_precond_builder(self, u_old, u_old1, aux, params):
+    def block_precond_builder(self, u_old, d_hist, aux, params):
         from ..solvers.precond import block_apply, invert_blocks
 
-        def build(u):
-            blocks = self._jacobian_blocks(u, u_old, u_old1, aux, params)
+        def build(delta):
+            blocks = self._jacobian_blocks(delta, u_old, d_hist, aux, params)
             inv = invert_blocks(blocks)
             return lambda r: block_apply(inv, r)
 
@@ -255,13 +310,17 @@ class CoupledSystem:
     # -- one attempted BDF step ---------------------------------------------
 
     def _step(self, u_guess, u_old, u_old1, aux, params: StepParams):
-        F = self.make_residual_fn(u_old, u_old1, aux, params)
+        (delta0, u_old_c, d_hist, aux_c, params_c,
+         bc_shift) = self._cast_inputs(u_guess, u_old, u_old1, aux, params)
+        R = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
+                                        bc_shift)
         pb = (
-            self.block_precond_builder(u_old, u_old1, aux, params)
+            self.block_precond_builder(u_old_c, d_hist, aux_c, params_c)
             if self.use_block_precond
             else None
         )
-        return newton_krylov(F, u_guess, self.newton, pb)
+        delta, info = newton_krylov(R, delta0, self.newton, pb)
+        return u_old + delta.astype(u_old.dtype), info
 
     def step(self, u_guess, u_old, u_old1, aux, params: StepParams):
         """One attempted nonlinear solve at (t, dt). Jitted on first call;

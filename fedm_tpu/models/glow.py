@@ -208,9 +208,10 @@ class GlowDischargeModel:
 
     # -- shared kernel pieces ----------------------------------------------
 
-    def _fields(self, b, u_e, ctx):
+    def _fields(self, b, delta_e, ctx):
         """Common quadrature-point quantities for cell and facet kernels."""
         cfg = self.cfg
+        u_e = ctx["u_old"] + delta_e  # absolute state (increment form)
         w = QField.from_nodal(b, u_e[..., 0])
         uS = QField.from_nodal(b, u_e[..., 1])
         uI = QField.from_nodal(b, u_e[..., 2])
@@ -281,39 +282,40 @@ class GlowDischargeModel:
 
     # -- cell kernel --------------------------------------------------------
 
-    def _cell_kernel(self, cb: CellBatch, u_e: Array, ctx) -> Array:
+    def _cell_kernel(self, cb: CellBatch, delta_e: Array, ctx) -> Array:
         cfg = self.cfg
         p: StepParams = ctx["params"]
-        F = self._fields(cb, u_e, ctx)
+        F = self._fields(cb, delta_e, ctx)
         f_sp, f_en = self._rates_and_sources(cb, F, ctx)
-        uo, uo1 = ctx["u_old"], ctx["u_old1"]
+        uo, dh = ctx["u_old"], ctx["d_hist"]
 
         c_en = balance_equation_contrib(
-            cb, "drift-diffusion-reaction", u_e[..., 0], uo[..., 0],
-            uo1[..., 0], p.dt, p.dt_old, f_en, Gamma_q=F["Gamma_en"])
+            cb, "drift-diffusion-reaction", delta_e[..., 0], uo[..., 0],
+            dh[..., 0], p.dt, p.dt_old, f_en, Gamma_q=F["Gamma_en"])
         c_star = balance_equation_contrib(
-            cb, "diffusion-reaction", u_e[..., 1], uo[..., 1], uo1[..., 1],
-            p.dt, p.dt_old, f_sp[..., 1], D_e=ctx["D_star"])
+            cb, "diffusion-reaction", delta_e[..., 1], uo[..., 1],
+            dh[..., 1], p.dt, p.dt_old, f_sp[..., 1], D_e=ctx["D_star"])
         c_ion = balance_equation_contrib(
-            cb, "drift-diffusion-reaction", u_e[..., 2], uo[..., 2],
-            uo1[..., 2], p.dt, p.dt_old, f_sp[..., 2], Gamma_q=F["Gamma_i"])
+            cb, "drift-diffusion-reaction", delta_e[..., 2], uo[..., 2],
+            dh[..., 2], p.dt, p.dt_old, f_sp[..., 2], Gamma_q=F["Gamma_i"])
         c_el = balance_equation_contrib(
-            cb, "drift-diffusion-reaction", u_e[..., 3], uo[..., 3],
-            uo1[..., 3], p.dt, p.dt_old, f_sp[..., 3], Gamma_q=F["Gamma_e"])
+            cb, "drift-diffusion-reaction", delta_e[..., 3], uo[..., 3],
+            dh[..., 3], p.dt, p.dt_old, f_sp[..., 3], Gamma_q=F["Gamma_e"])
 
         rho_q = (F["uI"].exp().val - F["uE"].exp().val) * (
             elementary_charge / epsilon_0)
-        c_phi = cb.stiffness(cb.grad(u_e[..., 4])) - cb.mass(rho_q)
+        c_phi = (cb.stiffness(cb.grad(uo[..., 4] + delta_e[..., 4]))
+                 - cb.mass(rho_q))
 
         return jnp.stack([c_en, c_star, c_ion, c_el, c_phi], axis=-1)
 
     # -- electrode boundary kernel ------------------------------------------
 
-    def _electrode_kernel(self, fb: FacetBatch, u_e: Array, ctx) -> Array:
+    def _electrode_kernel(self, fb: FacetBatch, delta_e: Array, ctx) -> Array:
         """'flux source' terms on the metallic electrodes
         (`fedm/functions.py:514-522`, `fedm-gd.py:366-388`)."""
         cfg = self.cfg
-        F = self._fields(fb, u_e, ctx)
+        F = self._fields(fb, delta_e, ctx)
         n = fb.normal
         En = jnp.einsum("fqd,fd->fq", F["E_q"], n)
 

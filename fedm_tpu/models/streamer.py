@@ -82,8 +82,26 @@ class StreamerConfig:
     alpha_expr: str = ALPHA_EXPR
     quad_degree: int = 2          # reference sets quadrature_degree=2
     Em_floor: float = 1.0         # [V/m] guard for E_m^-3 style expressions
-    newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
-        rtol=1e-4, max_iter=20, linear_tol=1e-6, linear_maxiter=800))
+    dtype: object = None          # None -> canonical float (f64 under x64);
+                                  # jnp.float32 for the TPU-fast path with
+                                  # f64 Krylov reductions
+    newton: NewtonConfig = None
+
+    def __post_init__(self):
+        if self.newton is None:
+            import jax.numpy as jnp
+
+            if self.dtype == jnp.float32:
+                # inexact-Newton tolerances sitting above the f32 assembly
+                # noise floor (~1e-4 relative); the adaptive ttol error
+                # control still guards physical accuracy
+                self.newton = NewtonConfig(rtol=1e-3, max_iter=20,
+                                           linear_tol=1e-4,
+                                           linear_maxiter=400)
+            else:
+                self.newton = NewtonConfig(rtol=1e-4, max_iter=20,
+                                           linear_tol=1e-6,
+                                           linear_maxiter=800)
 
     @property
     def N0(self) -> float:
@@ -130,7 +148,7 @@ class StreamerModel:
         ])
         self.space = FunctionSpace(mesh, 1)
         self.batch = CellBatch(self.space, quad_degree=cfg.quad_degree,
-                               axisymmetric=True)
+                               axisymmetric=True, dtype=cfg.dtype)
         self.n_eq = 3
 
         self._mu_e = compile_expression(cfg.mu_e_expr)
@@ -152,7 +170,8 @@ class StreamerModel:
         # Neumann electron outflow on the electrodes (markers 1 and 2,
         # `fedm-streamer.py:103-104`); axis and outer wall are zero-flux.
         fb = FacetBatch(self.space, markers=[1, 2],
-                        quad_degree=cfg.quad_degree, axisymmetric=True)
+                        quad_degree=cfg.quad_degree, axisymmetric=True,
+                        dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
 
     # -- coefficient fields at quadrature points ----------------------------
@@ -169,9 +188,10 @@ class StreamerModel:
 
     # -- kernels ------------------------------------------------------------
 
-    def _cell_kernel(self, cb: CellBatch, u_e: Array, ctx) -> Array:
+    def _cell_kernel(self, cb: CellBatch, delta_e: Array, ctx) -> Array:
         p: StepParams = ctx["params"]
-        u_old_e, u_old1_e = ctx["u_old"], ctx["u_old1"]
+        u_old_e, d_hist_e = ctx["u_old"], ctx["d_hist"]
+        u_e = u_old_e + delta_e  # absolute state for exponentials/fields
 
         E_q = -cb.grad(u_e[..., 2])  # [c, q, dim]
         E_m = jnp.sqrt(jnp.sum(E_q * E_q, axis=-1) + self.cfg.Em_floor**2)
@@ -188,11 +208,11 @@ class StreamerModel:
                    + self.SIGN[1] * mu_q[..., None] * E_q * ne_q[..., None])
 
         contrib_i = balance_equation_contrib(
-            cb, "reaction", u_e[..., 0], u_old_e[..., 0], u_old1_e[..., 0],
-            p.dt, p.dt_old, f_ion)
+            cb, "reaction", delta_e[..., 0], u_old_e[..., 0],
+            d_hist_e[..., 0], p.dt, p.dt_old, f_ion)
         contrib_e = balance_equation_contrib(
-            cb, "drift-diffusion-reaction", u_e[..., 1], u_old_e[..., 1],
-            u_old1_e[..., 1], p.dt, p.dt_old, f_ion, Gamma_q=Gamma_e)
+            cb, "drift-diffusion-reaction", delta_e[..., 1], u_old_e[..., 1],
+            d_hist_e[..., 1], p.dt, p.dt_old, f_ion, Gamma_q=Gamma_e)
 
         # Poisson: stiffness(grad Phi) - mass(rho/eps0)
         rho_q = (jnp.exp(cb.value(u_e[..., 0])) - ne_q) * (
@@ -201,9 +221,10 @@ class StreamerModel:
 
         return jnp.stack([contrib_i, contrib_e, contrib_p], axis=-1)
 
-    def _electrode_kernel(self, fb: FacetBatch, u_e: Array, ctx) -> Array:
+    def _electrode_kernel(self, fb: FacetBatch, delta_e: Array, ctx) -> Array:
         """Neumann electron outflow: + 2 pi r (sign mu E . n) e^u v ds
         (`fedm/functions.py:523-524`)."""
+        u_e = ctx["u_old"] + delta_e
         E_q = -fb.grad(u_e[..., 2])
         E_m = jnp.sqrt(jnp.sum(E_q * E_q, axis=-1) + self.cfg.Em_floor**2)
         mu_q, _, _ = self._coeffs(E_m)
@@ -223,21 +244,24 @@ class StreamerModel:
         r, z = coords[:, 0], coords[:, 1]
         n_ion = cfg.background + cfg.seed_amplitude * np.exp(
             -(r**2 + (z - cfg.seed_z) ** 2) / cfg.seed_width**2)
-        u_ion = jnp.asarray(np.log(n_ion))
-        u_el = jnp.full(self.space.n_dofs, np.log(cfg.background))
+        u_ion = jnp.asarray(np.log(n_ion), self.batch.dtype)
+        u_el = jnp.full(self.space.n_dofs, np.log(cfg.background),
+                        self.batch.dtype)
 
         rho_q = (jnp.exp(self.batch.value(self.batch.gather(u_ion)))
                  - jnp.exp(self.batch.value(self.batch.gather(u_el)))) * (
-            elementary_charge / epsilon_0)
+            jnp.asarray(elementary_charge / epsilon_0, self.batch.dtype))
         mask = np.zeros(self.space.n_dofs, dtype=bool)
         g = np.zeros(self.space.n_dofs)
         cathode = np.isclose(coords[:, 1], 0.0)
         anode = np.isclose(coords[:, 1], cfg.box_height)
         mask[cathode | anode] = True
         g[anode] = cfg.U_w
+        tol = 1e-12 if self.batch.dtype == jnp.float64 else 1e-6
         phi, relres, _ = solve_poisson(self.batch, rho_q, jnp.asarray(mask),
-                                       jnp.asarray(g), tol=1e-12)
-        u = jnp.stack([u_ion, u_el, phi], axis=-1)
+                                       jnp.asarray(g.astype(
+                                           self.batch.dtype)), tol=tol)
+        u = jnp.stack([u_ion, u_el, phi], axis=-1).astype(self.batch.dtype)
         return TimeState(u=u, u_old=u, u_old1=u, t=0.0,
                          dt=cfg.dt_init, dt_old=1e30)
 

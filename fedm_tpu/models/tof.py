@@ -90,10 +90,10 @@ class _TofBase:
 
     # kernel ---------------------------------------------------------------
 
-    def _cell_kernel(self, cb: CellBatch, u_e: Array, ctx) -> Array:
+    def _cell_kernel(self, cb: CellBatch, delta_e: Array, ctx) -> Array:
         c = self.cfg
         p: StepParams = ctx["params"]
-        u1 = u_e[..., 0]
+        u1 = ctx["u_old"][..., 0] + delta_e[..., 0]
         ones = jnp.ones(u1.shape[:2], u1.dtype)
         D_e = c.De * ones
         mu_e = ones
@@ -106,8 +106,8 @@ class _TofBase:
                                        grad_diffusion=True)
         f_q = c.alpha * c.wez * self.n_analytic(cb.x_q, p.t)
         contrib = balance_equation_contrib(
-            cb, "drift-diffusion-reaction", u1,
-            ctx["u_old"][..., 0], ctx["u_old1"][..., 0],
+            cb, "drift-diffusion-reaction", delta_e[..., 0],
+            ctx["u_old"][..., 0], ctx["d_hist"][..., 0],
             p.dt, p.dt_old, f_q, Gamma_q=Gamma_q,
         )
         return contrib[..., None]

@@ -28,11 +28,18 @@ Array = jax.Array
 
 
 def _dot(a: Array, b: Array) -> Array:
-    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+    # accumulate inner products in f64 even for f32 fields (mixed-precision
+    # design: f32 compute, f64 reductions — SURVEY.md 'hard parts')
+    acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
+    return jnp.vdot(a.reshape(-1).astype(acc), b.reshape(-1).astype(acc))
 
 
 def _norm(a: Array) -> Array:
     return jnp.sqrt(_dot(a, a))
+
+
+def _acc_dtype(b: Array):
+    return jnp.float64 if jax.config.jax_enable_x64 else b.dtype
 
 
 def _identity(x: Array) -> Array:
@@ -62,12 +69,12 @@ def cg(matvec: Callable, b: Array, x0: Optional[Array] = None,
     def body(state):
         x, r, p, rz, k = state
         Ap = matvec(p)
-        alpha = rz / _dot(p, Ap)
+        alpha = (rz / _dot(p, Ap)).astype(x.dtype)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = _dot(r, z)
-        beta = rz_new / rz
+        beta = (rz_new / rz).astype(x.dtype)
         p = z + beta * p
         return x, r, p, rz_new, k + 1
 
@@ -84,14 +91,15 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
     underflow) exits early; the caller checks `relres` for success.
     """
     M = precond or _identity
+    acc = _acc_dtype(b)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     rhat = r
-    rho = alpha = omega = jnp.asarray(1.0, b.dtype)
+    rho = alpha = omega = jnp.asarray(1.0, acc)
     v = p = jnp.zeros_like(b)
     bnorm = jnp.maximum(_norm(b), 1e-300)
     target = jnp.maximum(tol * bnorm, atol)
-    tiny = jnp.asarray(1e-290, b.dtype)
+    tiny = jnp.asarray(1e-290 if acc == jnp.float64 else 1e-32, acc)
 
     def cond(state):
         x, r, rhat, rho, alpha, omega, v, p, k, broke = state
@@ -104,19 +112,19 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
         beta = (rho_new / jnp.where(breakdown, 1.0, rho)) * (
             alpha / jnp.where(jnp.abs(omega) < tiny, 1.0, omega)
         )
-        p = r + beta * (p - omega * v)
+        p = r + beta.astype(x.dtype) * (p - omega.astype(x.dtype) * v)
         phat = M(p)
         v = matvec(phat)
         denom = _dot(rhat, v)
         breakdown |= jnp.abs(denom) < tiny
         alpha = rho_new / jnp.where(breakdown, 1.0, denom)
-        s = r - alpha * v
+        s = r - alpha.astype(x.dtype) * v
         shat = M(s)
         t = matvec(shat)
         tt = _dot(t, t)
         omega = _dot(t, s) / jnp.where(tt < tiny, 1.0, tt)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
+        x = x + alpha.astype(x.dtype) * phat + omega.astype(x.dtype) * shat
+        r = s - omega.astype(x.dtype) * t
         return x, r, rhat, rho_new, alpha, omega, v, p, k + 1, breakdown
 
     init = (x, r, rhat, rho, alpha, omega, v, p, jnp.int32(0),

@@ -41,6 +41,7 @@ class NewtonConfig:
     linear_maxiter: int = 300
     max_halvings: int = 6       # line-search backtracking depth
     armijo: float = 1e-4
+    max_stalls: int = 2         # consecutive non-reducing iterations allowed
 
 
 class NewtonInfo(NamedTuple):
@@ -65,11 +66,12 @@ def newton_krylov(
     target = jnp.maximum(config.rtol * f0_norm, config.atol)
 
     def cond(state):
-        u, fnorm, k, bad, linres = state
+        u, fnorm, k, stalls, linres = state
+        bad = (stalls >= config.max_stalls) | (~jnp.isfinite(fnorm))
         return (fnorm > target) & (k < config.max_iter) & (~bad)
 
     def body(state):
-        u, fnorm, k, bad, _ = state
+        u, fnorm, k, stalls, _ = state
         f, jvp = jax.linearize(residual, u)
         M = precond_builder(u) if precond_builder is not None else None
         if M is None or config.linear_solver == "cg":
@@ -98,22 +100,29 @@ def newton_krylov(
         def ls_body(ls):
             lam, _, h = ls
             lam = lam * 0.5
-            fnew_norm = _norm(residual(u + lam * delta))
+            fnew_norm = _norm(residual(u + lam.astype(u.dtype) * delta))
             return lam, fnew_norm, h + 1
 
-        lam0 = jnp.asarray(1.0, u.dtype)
+        lam0 = jnp.asarray(1.0, fnorm.dtype)
         fnew0 = _norm(residual(u + delta))
         lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
                                            (lam0, fnew0, jnp.int32(0)))
-        u_new = u + lam * delta
+        u_new = u + lam.astype(u.dtype) * delta
 
-        # declare failure when the step produced no residual reduction at
-        # all, or went non-finite (caller shrinks dt)
-        bad = (~jnp.isfinite(fnew_norm)) | (fnew_norm >= fnorm)
-        return u_new, fnew_norm, k + 1, bad, linres
+        # a non-reducing iteration (residual at its floating-point floor
+        # wandering up) keeps the better iterate and counts a stall;
+        # `max_stalls` consecutive stalls or a non-finite residual abort
+        # (the adaptive driver then shrinks dt)
+        improved = jnp.isfinite(fnew_norm) & (fnew_norm < fnorm)
+        u_keep = jnp.where(improved, 1.0, 0.0).astype(u.dtype)
+        u_new = u_keep * u_new + (1.0 - u_keep) * u
+        fnorm_new = jnp.where(improved, fnew_norm, fnorm)
+        stalls = jnp.where(improved, 0, stalls + 1)
+        return u_new, fnorm_new, k + 1, stalls, linres
 
-    init = (u0, f0_norm, jnp.int32(0), ~jnp.isfinite(f0_norm),
-            jnp.asarray(jnp.inf, u0.dtype))
-    u, fnorm, k, bad, linres = lax.while_loop(cond, body, init)
+    init = (u0, f0_norm, jnp.int32(0),
+            jnp.where(jnp.isfinite(f0_norm), 0, 99).astype(jnp.int32),
+            jnp.asarray(jnp.inf, f0_norm.dtype))
+    u, fnorm, k, stalls, linres = lax.while_loop(cond, body, init)
     converged = (fnorm <= target) & jnp.isfinite(fnorm)
     return u, NewtonInfo(converged, k, fnorm, f0_norm, linres)
