@@ -151,3 +151,76 @@ def poisson_contrib(batch: CellBatch, phi_e: Array, f_q: Array):
     """Poisson residual contribution ∫ ∇Φ·∇v - ∫ f v
     (`fedm/functions.py:379-401`)."""
     return batch.stiffness(batch.grad(phi_e)) - batch.mass(f_q)
+
+
+def Max(a, b):
+    """Branch-free maximum, (a + b + |a - b|)/2 — the smooth form the
+    reference uses inside UFL expressions (`fedm/functions.py:205-209`),
+    e.g. the positive ion outflux for secondary emission."""
+    return (a + b + jnp.abs(a - b)) / 2.0
+
+
+def Min(a, b):
+    """Branch-free minimum, (a + b - |a - b|)/2 (`fedm/functions.py:212-216`)."""
+    return (a + b - jnp.abs(a - b)) / 2.0
+
+
+def boundary_flux(
+    fb,
+    bc_type: str,
+    equation_type: str,
+    particle_type: str,
+    sign: float,
+    mu_q: Array,
+    En_q: Array,
+    u_q: Array,
+    gamma: float,
+    r_coeff: float = 1.0,
+    vth=0.0,
+    Ion_flux=0.0,
+):
+    """Generic boundary-condition surface term, the reference's
+    `Boundary_flux` dispatch (`/root/reference/fedm/functions.py:404-528`).
+
+    Returns the integrand at facet quadrature points (multiply into
+    `fb.mass(...)` for the test-function contribution) or 0.0 when the
+    combination contributes nothing ('zero flux', or Neumann with a
+    non-drift equation — exactly the reference's fall-through).
+
+    Arguments are quadrature-point fields on the facet batch: mu_q the
+    (possibly semi-implicit) mobility, En_q = E·n the normal field
+    component, u_q the log-density, vth the thermal velocity (scalar or
+    field), Ion_flux the positive ion outflux for secondary emission.
+    """
+    bc_types = ("zero flux", "flux source", "Neumann")
+    if "_" in bc_type:
+        bc_type = bc_type.replace("_", " ")
+    if bc_type not in bc_types:
+        raise ValueError(
+            f"boundary condition type '{bc_type}' not recognised; must be "
+            f"one of {bc_types}")
+    equation_types = ("reaction", "diffusion-reaction",
+                      "drift-diffusion-reaction")
+    if bc_type != "zero flux" and equation_type not in equation_types:
+        raise ValueError(
+            f"equation type '{equation_type}' not recognised; must be one "
+            f"of {equation_types}")
+
+    if bc_type == "flux source" and equation_type != "reaction":
+        if (equation_type == "diffusion-reaction"
+                and particle_type not in ("Heavy", "electrons")):
+            raise ValueError(
+                f"particle type '{particle_type}' not recognised; must be "
+                "'Heavy' or 'electrons'")
+        result = (1.0 - r_coeff) / (1.0 + r_coeff)
+        if equation_type == "diffusion-reaction":
+            result = result * 0.5 * vth * jnp.exp(u_q)
+        if equation_type == "drift-diffusion-reaction":
+            result = result * (0.5 * vth
+                               + jnp.abs(sign * mu_q * En_q)) * jnp.exp(u_q)
+            if particle_type == "electrons":
+                result = result - 2.0 * gamma * Ion_flux / (1.0 + r_coeff)
+        return result
+    if bc_type == "Neumann" and equation_type == "drift-diffusion-reaction":
+        return sign * mu_q * En_q * jnp.exp(u_q)
+    return 0.0
