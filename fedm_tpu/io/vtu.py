@@ -18,8 +18,20 @@ import numpy as np
 _VTK_CELL_TYPES = {1: 3, 2: 5}  # dim -> VTK_LINE / VTK_TRIANGLE
 
 
-def write_vtu(path, mesh, point_data: dict) -> None:
-    """Write one .vtu snapshot (ascii XML). point_data: name -> [n_verts]."""
+def _b64_block(arr: np.ndarray) -> str:
+    """VTK binary inline encoding: uint32 byte count header + payload,
+    base64 (native encoder when available)."""
+    from ..native import b64encode
+
+    raw = np.ascontiguousarray(arr).tobytes()
+    header = np.uint32(len(raw)).tobytes()
+    return b64encode(header + raw).decode()
+
+
+def write_vtu(path, mesh, point_data: dict, binary: bool = False) -> None:
+    """Write one .vtu snapshot. point_data: name -> [n_verts]. With
+    `binary=True` data arrays are base64-encoded (smaller, faster to
+    parse; encoded natively when the C++ module is built)."""
     coords = mesh.coords
     cells = mesh.cells
     n_pts, dim = coords.shape
@@ -28,8 +40,19 @@ def write_vtu(path, mesh, point_data: dict) -> None:
     vtk_type = _VTK_CELL_TYPES[dim]
     nv = cells.shape[1]
 
+    fmt_attr = "binary" if binary else "ascii"
+
     def arr2str(a, fmt="{:.16g}"):
         return " ".join(fmt.format(x) for x in np.asarray(a).ravel())
+
+    def emit(f, a, dtype):
+        if binary:
+            f.write("          "
+                    + _b64_block(np.asarray(a, dtype).ravel()) + "\n")
+        else:
+            fmt = "{:d}" if np.issubdtype(np.dtype(dtype), np.integer) \
+                else "{:.16g}"
+            f.write("          " + arr2str(np.asarray(a, dtype), fmt) + "\n")
 
     with open(path, "w") as f:
         f.write('<?xml version="1.0"?>\n')
@@ -40,29 +63,27 @@ def write_vtu(path, mesh, point_data: dict) -> None:
                 f'NumberOfCells="{len(cells)}">\n')
         f.write("      <Points>\n")
         f.write('        <DataArray type="Float64" NumberOfComponents="3" '
-                'format="ascii">\n')
-        f.write("          " + arr2str(pts3) + "\n")
+                f'format="{fmt_attr}">\n')
+        emit(f, pts3, np.float64)
         f.write("        </DataArray>\n      </Points>\n")
         f.write("      <Cells>\n")
         f.write('        <DataArray type="Int32" Name="connectivity" '
-                'format="ascii">\n')
-        f.write("          " + arr2str(cells, "{:d}") + "\n")
+                f'format="{fmt_attr}">\n')
+        emit(f, cells, np.int32)
         f.write("        </DataArray>\n")
         f.write('        <DataArray type="Int32" Name="offsets" '
-                'format="ascii">\n')
-        f.write("          " + arr2str(np.arange(1, len(cells) + 1) * nv,
-                                       "{:d}") + "\n")
+                f'format="{fmt_attr}">\n')
+        emit(f, np.arange(1, len(cells) + 1) * nv, np.int32)
         f.write("        </DataArray>\n")
         f.write('        <DataArray type="UInt8" Name="types" '
-                'format="ascii">\n')
-        f.write("          " + arr2str(np.full(len(cells), vtk_type), "{:d}")
-                + "\n")
+                f'format="{fmt_attr}">\n')
+        emit(f, np.full(len(cells), vtk_type), np.uint8)
         f.write("        </DataArray>\n      </Cells>\n")
         f.write("      <PointData>\n")
         for name, values in point_data.items():
             f.write(f'        <DataArray type="Float64" Name="{name}" '
-                    'format="ascii">\n')
-            f.write("          " + arr2str(values) + "\n")
+                    f'format="{fmt_attr}">\n')
+            emit(f, values, np.float64)
             f.write("        </DataArray>\n")
         f.write("      </PointData>\n")
         f.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
@@ -75,6 +96,12 @@ def read_vtu(path, field_name: str) -> np.ndarray:
     root = ET.parse(path).getroot()
     for da in root.iter("DataArray"):
         if da.get("Name") == field_name:
+            if da.get("format") == "binary":
+                import base64
+
+                raw = base64.b64decode(da.text.strip())
+                n = int(np.frombuffer(raw[:4], np.uint32)[0])
+                return np.frombuffer(raw[4:4 + n], np.float64).copy()
             return np.fromstring(da.text.strip(), sep=" ")
     raise KeyError(f"field '{field_name}' not found in {path}")
 
