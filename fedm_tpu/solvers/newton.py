@@ -42,6 +42,9 @@ class NewtonConfig:
     max_halvings: int = 6       # line-search backtracking depth
     armijo: float = 1e-4
     max_stalls: int = 2         # consecutive non-reducing iterations allowed
+    freeze_precond: bool = False  # build the block preconditioner once at
+                                  # the initial iterate instead of per
+                                  # iteration (cheaper; SNES '-snes_lag_jacobian')
 
 
 class NewtonInfo(NamedTuple):
@@ -70,10 +73,19 @@ def newton_krylov(
         bad = (stalls >= config.max_stalls) | (~jnp.isfinite(fnorm))
         return (fnorm > target) & (k < config.max_iter) & (~bad)
 
+    M_frozen = (precond_builder(u0)
+                if (precond_builder is not None and config.freeze_precond)
+                else None)
+
     def body(state):
         u, fnorm, k, stalls, _ = state
         f, jvp = jax.linearize(residual, u)
-        M = precond_builder(u) if precond_builder is not None else None
+        if precond_builder is None:
+            M = None
+        elif config.freeze_precond:
+            M = M_frozen
+        else:
+            M = precond_builder(u)
         if M is None or config.linear_solver == "cg":
             # CG implements proper preconditioned CG (M-inner products)
             delta, linres, _ = lin(

@@ -83,6 +83,12 @@ class AdaptiveDriver:
         self.error_log = Path(error_log) if error_log is not None else None
         self.max_retries = max_retries
         self.verbose = verbose
+        # NOTE on Newton initial guesses: the reference starts from u_old
+        # (`fedm/functions.py:1103`) and so does this driver. A linear
+        # extrapolation predictor was evaluated and REJECTED: a near-exact
+        # guess makes ||R(delta0)|| tiny, and the SNES-style rtol target
+        # relative to it then falls below the floating-point residual
+        # floor, turning good steps into spurious failures.
 
     def _log_error(self, err: float, dt_old: float, dt: float) -> None:
         if self.error_log is None:

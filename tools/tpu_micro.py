@@ -16,10 +16,8 @@ parser.add_argument("--nx", type=int, default=96)
 parser.add_argument("--ny", type=int, default=192)
 parser.add_argument("--gather", action="store_true")
 parser.add_argument("--steps", type=int, default=3)
+parser.add_argument("--sweep", action="store_true")
 args = parser.parse_args()
-
-if args.f32:
-    os.environ["FEDM_TPU_NO_X64"] = "1"
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +36,8 @@ def timeit(fn, *a, n=5):
     return (time.perf_counter() - t0) / n
 
 
-cfg = StreamerConfig(nx=args.nx, ny=args.ny)
+cfg = StreamerConfig(nx=args.nx, ny=args.ny,
+                     dtype=jnp.float32 if args.f32 else None)
 m = StreamerModel(cfg)
 if args.gather:
     m.system.use_gather_scatter()
@@ -55,12 +54,14 @@ jax.block_until_ready(r)
 print(f"residual compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 print(f"residual eval: {timeit(F, st.u)*1e3:.2f} ms", file=sys.stderr)
 
-B = jax.jit(lambda u: m.system._jacobian_blocks(u, st.u, st.u, {}, params))
+zero = jnp.zeros_like(st.u).astype(m.batch.dtype)
+B = jax.jit(lambda d: m.system._jacobian_blocks(
+    d, st.u.astype(m.batch.dtype), zero, {}, params))
 t0 = time.perf_counter()
-b = B(st.u)
+b = B(zero)
 jax.block_until_ready(b)
 print(f"blocks compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-print(f"blocks eval: {timeit(B, st.u)*1e3:.2f} ms", file=sys.stderr)
+print(f"blocks eval: {timeit(B, zero)*1e3:.2f} ms", file=sys.stderr)
 
 t0 = time.perf_counter()
 u1, info = m.system.step(st.u, st.u, st.u_old1, {}, params)
@@ -75,3 +76,25 @@ jax.block_until_ready(u1)
 per = (time.perf_counter() - t0) / args.steps
 print(f"step eval: {per*1e3:.1f} ms  conv={bool(info.converged)} "
       f"res={float(info.res_norm):.2e}", file=sys.stderr)
+
+# extended sweep mode: --sweep compares option combinations
+if args.sweep:
+    import itertools
+    for pred, freeze in [(False, False), (False, True)]:
+        mm = StreamerModel(cfg)
+        if args.gather:
+            mm.system.use_gather_scatter()
+        from dataclasses import replace
+        mm.system.newton = replace(mm.system.newton, freeze_precond=freeze)
+        drv = mm.make_driver()
+        stt = mm.initial_state()
+        stt = drv.advance(stt, {})  # warm
+        jax.block_until_ready(stt.u)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            stt = drv.advance(stt, {})
+        jax.block_until_ready(stt.u)
+        per = (time.perf_counter() - t0) / 4
+        print(f"pred={pred} freeze={freeze}: {per*1e3:.0f} ms/step "
+              f"acc={stt.n_accepted} rej={stt.n_rejected} "
+              f"err={stt.max_error[0]:.4e}", file=sys.stderr)
