@@ -32,7 +32,7 @@ Feature coverage vs the reference script:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -89,8 +89,19 @@ class GlowConfig:
     T_final: float = 5e-5
     quad_degree: int = 4
     project_lumped: bool = False
-    newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
-        rtol=1e-4, max_iter=20, linear_tol=1e-6, linear_maxiter=1500))
+    dtype: object = None  # None -> f64; jnp.float32 for the TPU-fast path
+    newton: NewtonConfig = None
+
+    def __post_init__(self):
+        if self.newton is None:
+            if self.dtype == jnp.float32:
+                self.newton = NewtonConfig(rtol=1e-3, max_iter=20,
+                                           linear_tol=1e-4,
+                                           linear_maxiter=600)
+            else:
+                self.newton = NewtonConfig(rtol=1e-4, max_iter=20,
+                                           linear_tol=1e-6,
+                                           linear_maxiter=1500)
 
     @property
     def N0(self) -> float:
@@ -149,7 +160,7 @@ class GlowDischargeModel:
         self.mesh = mesh
         self.space = FunctionSpace(mesh, 1)
         self.batch = CellBatch(self.space, quad_degree=cfg.quad_degree,
-                               axisymmetric=True)
+                               axisymmetric=True, dtype=cfg.dtype)
 
         coords = self.space.dof_coords
         powered = self.space.dofs_where(lambda x: np.isclose(x[:, 1], 0.0))
@@ -167,7 +178,8 @@ class GlowDischargeModel:
         # only the metallic electrodes (markers 1, 2) carry non-zero flux
         # terms: ref=1 on axis/wall zeroes everything (`fedm-gd.py:144-148`)
         fb = FacetBatch(self.space, markers=[1, 2],
-                        quad_degree=cfg.quad_degree, axisymmetric=True)
+                        quad_degree=cfg.quad_degree, axisymmetric=True,
+                        dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
 
         self._update_aux_jit = jax.jit(self._update_aux)
@@ -178,6 +190,7 @@ class GlowDischargeModel:
         cfg = self.cfg
         we, u3, phi = u[:, 0], u[:, 3], u[:, 4]
         eps_old = jnp.exp(we - u3)  # mean energy from the last accepted step
+        phi = phi.astype(self.batch.dtype)
         gphi = self.batch.grad(self.batch.gather(phi))
         Em_q = jnp.sqrt(jnp.sum(gphi * gphi, axis=-1))
         redE = project(Em_q * (1e21 / cfg.N0), self.batch,

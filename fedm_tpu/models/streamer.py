@@ -124,6 +124,48 @@ def _graded_coords(n: int, length: float, grade: float, focus: float) -> np.ndar
 class StreamerModel:
     SIGN = (1.0, -1.0)  # ion, electron charge signs
 
+    @classmethod
+    def from_file_input(cls, file_input, model: str = "benchmark_model",
+                        mesh: Optional[Mesh] = None, **config_overrides):
+        """Build the model from a reference-format input tree
+        (`speclist.cfg` + `transport_coefficients/*_{Nb,ND}.dat` with
+        `fun:E` expressions + `species/*.cfg`), the path the reference
+        exercises at `fedm-streamer.py:47-48,227-245`. The electron
+        mobility/diffusion expressions and (optionally) an
+        `alpha.dat` ionisation expression are compiled through the safe
+        expression layer."""
+        from pathlib import Path
+
+        from ..chemistry import (read_speclist, read_transport_coefficients,
+                                 read_particle_properties, read_single_string)
+        from ..model.approximation import modify_approximation_vars
+
+        n_sp, species, prop_files, tc_names = read_speclist(
+            Path(file_input) / model)
+        masses, signs = read_particle_properties(prop_files, model,
+                                                 file_input=file_input)
+        n_sp, n_eq, species, masses, signs = modify_approximation_vars(
+            "LFA", n_sp, species, masses, signs)
+        # the reference's streamer looks transport files up by species NAME
+        # (`fedm-streamer.py:227-228` passes particle_species), unlike the
+        # glow script which uses the property-file basenames
+        _, mu_y, mu_dep = read_transport_coefficients(
+            species, "mobility", model, file_input=file_input)
+        _, D_y, D_dep = read_transport_coefficients(
+            species, "Diffusion", model, file_input=file_input)
+        kw = dict(config_overrides)
+        if mu_dep[-1] == "fun:E":
+            kw["mu_e_expr"] = mu_y[-1]
+        if D_dep[-1] == "fun:E":
+            kw["D_e_expr"] = D_y[-1]
+        alpha_file = (Path(file_input) / model / "transport_coefficients"
+                      / "alpha.dat")
+        if alpha_file.is_file():
+            kw["alpha_expr"] = read_single_string(alpha_file)
+        obj = cls(StreamerConfig(**kw), mesh=mesh)
+        obj.SIGN = tuple(signs)
+        return obj
+
     def __init__(self, cfg: StreamerConfig = None, mesh: Optional[Mesh] = None):
         self.cfg = cfg = cfg or StreamerConfig()
         if mesh is None:
