@@ -26,7 +26,11 @@ def main():
     nx, ny = 96, 192
     # f32 fields + f64 Krylov reductions (increment formulation keeps the
     # per-step differences fully precise; verified against the f64 path)
-    cfg = StreamerConfig(nx=nx, ny=ny, dtype=jnp.float32)
+    # mg_levels=0: at this size on TPU the V-cycle's many small coarse-level
+    # ops cost more than the ~60 block-Jacobi Krylov iterations they save
+    # (measured 99k vs 173k DoF*steps/s); multigrid pays off on CPU (2.9x)
+    # and on large/stiff meshes
+    cfg = StreamerConfig(nx=nx, ny=ny, dtype=jnp.float32, mg_levels=0)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()  # ELL assembly: no TPU scatter-adds
     n_unknowns = model.space.n_dofs * model.n_eq

@@ -1,0 +1,118 @@
+"""Inter-mesh nodal interpolation (P1), for multigrid transfers.
+
+For a pair of meshes where the fine domain is covered by the coarse mesh
+(any nesting produced by the structured generators qualifies), each fine
+node's value is the P1 interpolation of the coarse nodal values of its
+containing coarse cell: a static `[n_fine, dim+1]` index/weight table —
+a pure-gather prolongation, and its transpose (segment-sum) restriction.
+Point location uses a uniform bin grid over coarse-cell bounding boxes
+(host, once).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .space import FunctionSpace
+
+Array = jax.Array
+
+
+def _locate_points(coarse_mesh, points: np.ndarray, tol: float = 1e-10):
+    """For each point: (cell index, barycentric weights [dim+1])."""
+    coords = coarse_mesh.coords
+    cells = coarse_mesh.cells
+    n_pts = len(points)
+    dim = coarse_mesh.dim
+
+    if dim == 1:
+        x = points[:, 0]
+        lo = coords[cells[:, 0], 0]
+        hi = coords[cells[:, 1], 0]
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+        order = np.argsort(lo)
+        idx = np.clip(np.searchsorted(lo[order], x, side="right") - 1,
+                      0, len(cells) - 1)
+        cell = order[idx]
+        a = coords[cells[cell, 0], 0]
+        b = coords[cells[cell, 1], 0]
+        s = (x - a) / (b - a)
+        w = np.stack([1 - s, s], axis=1)
+        return cell, np.clip(w, -tol, 1 + tol)
+
+    # 2D: bin coarse cells by bounding box
+    x_cells = coords[cells]  # [n_c, 3, 2]
+    mins = x_cells.min(axis=1)
+    maxs = x_cells.max(axis=1)
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    nb = max(1, int(np.sqrt(len(cells) / 4)))
+    span = np.maximum(hi - lo, 1e-300)
+
+    def bin_of(p):
+        return np.clip(((p - lo) / span * nb).astype(int), 0, nb - 1)
+
+    bins = {}
+    blo = bin_of(mins)
+    bhi = bin_of(maxs)
+    for c in range(len(cells)):
+        for bx in range(blo[c, 0], bhi[c, 0] + 1):
+            for by in range(blo[c, 1], bhi[c, 1] + 1):
+                bins.setdefault((bx, by), []).append(c)
+
+    cell_out = np.full(n_pts, -1, dtype=np.int64)
+    w_out = np.zeros((n_pts, 3))
+    v0 = x_cells[:, 0]
+    T = np.stack([x_cells[:, 1] - v0, x_cells[:, 2] - v0], axis=2)
+    det = T[:, 0, 0] * T[:, 1, 1] - T[:, 0, 1] * T[:, 1, 0]
+    inv = np.stack(
+        [np.stack([T[:, 1, 1], -T[:, 0, 1]], 1),
+         np.stack([-T[:, 1, 0], T[:, 0, 0]], 1)], 1) / det[:, None, None]
+
+    pb = bin_of(points)
+    for i in range(n_pts):
+        best_c, best_d = -1, np.inf
+        for c in bins.get((pb[i, 0], pb[i, 1]), []):
+            r = points[i] - v0[c]
+            lam12 = inv[c] @ r
+            lam0 = 1.0 - lam12.sum()
+            lams = np.array([lam0, lam12[0], lam12[1]])
+            d = -min(lams.min(), 0.0)
+            if d < best_d:
+                best_d, best_c = d, c
+                best_w = lams
+            if d <= tol:
+                break
+        if best_c < 0 or best_d > 1e-6:
+            raise ValueError(
+                f"point {points[i]} not inside any coarse cell "
+                f"(residual {best_d:.2e})")
+        cell_out[i] = best_c
+        w_out[i] = np.clip(best_w, 0.0, 1.0)
+    return cell_out, w_out
+
+
+def p1_transfer(coarse: FunctionSpace, fine: FunctionSpace,
+                dtype=None) -> Tuple[Array, Array]:
+    """(idx [n_fine, dim+1], weights [n_fine, dim+1]) such that
+    prolongation is `(w * u_c[idx]).sum(-1)`."""
+    dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
+                                          else dtype)
+    cells, w = _locate_points(coarse.mesh, fine.dof_coords)
+    idx = coarse.cell_dofs[cells]  # P1: cell dofs = vertex dofs
+    return jnp.asarray(idx, jnp.int32), jnp.asarray(w, dtype)
+
+
+def prolong(idx: Array, w: Array, u_coarse: Array) -> Array:
+    return (w * u_coarse[idx]).sum(axis=-1)
+
+
+def restrict(idx: Array, w: Array, r_fine: Array, n_coarse: int) -> Array:
+    """Transpose of `prolong` (segment-sum of weighted fine residuals)."""
+    return jax.ops.segment_sum(
+        (w * r_fine[:, None]).reshape(-1), idx.reshape(-1),
+        num_segments=n_coarse)

@@ -92,6 +92,77 @@ class CoupledSystem:
             batch.build_scatter_meta(batch._meta_blocks)
         self._step_jit = None
 
+    # -- elliptic (Poisson-block) preconditioning ---------------------------
+
+    def _scatter_stiffness(self, x):
+        """Laplacian matvec of a single scalar nodal field (SPMD-aware)."""
+        b = self.cell_batch
+        if self.spmd is None:
+            return b.scatter(b.stiffness(b.grad(b.gather(x))))
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        device_mesh, axis = self.spmd
+        arrs = b.shard_arrays()
+
+        def body(x, *arrays):
+            local = b.local_view(*arrays)
+            out = local.scatter(local.stiffness(local.grad(local.gather(x))))
+            return jax.lax.psum(out, axis)
+
+        return shard_map(body, mesh=device_mesh,
+                         in_specs=(P(),) + (P(axis),) * len(arrs),
+                         out_specs=P())(x, *arrs)
+
+    def enable_elliptic_precond(self, eq: int, degree: int = 12,
+                                ratio: float = 30.0,
+                                power_iters: int = 40, mg=None) -> None:
+        """Augment the node-block Jacobi preconditioner with an (approximate)
+        solve of the `eq` component's Laplacian — the Poisson block dominates
+        the outer Krylov iteration count. With `mg` (a
+        solvers.multigrid.GeometricMultigrid) the solve is a V-cycle
+        (mesh-independent); otherwise a Chebyshev polynomial (see
+        solvers.chebyshev). Call after `shard()` when sharding."""
+        from ..solvers.chebyshev import chebyshev_solver, power_iteration_lmax
+
+        if mg is not None:
+            self._ell = (eq, mg.precond)
+            self._step_jit = None
+            return
+
+        mask = self.bcs.mask[:, eq]
+        b = self.cell_batch
+        # Jacobi diagonal of the masked stiffness
+        g = b.grads
+        g2 = jnp.sum(g * g, axis=-1)
+        if g2.shape[1] == 1:
+            contrib = b.scale.sum(axis=1)[:, None] * g2[:, 0]
+        else:
+            contrib = jnp.einsum("cq,cqa->ca", b.scale, g2)
+        if self.spmd is None:
+            diag = b.scatter(contrib)
+        else:
+            # assemble the diagonal on the host (setup-time, once)
+            import numpy as np
+
+            acc = np.zeros(self.n_dofs)
+            np.add.at(acc, np.asarray(b.dofs).reshape(-1),
+                      np.asarray(contrib).reshape(-1))
+            diag = jnp.asarray(acc, b.dtype)
+        dtilde = jnp.where(mask | (diag == 0), 1.0, diag).astype(b.dtype)
+
+        def A(x):
+            x_in = jnp.where(mask, 0.0, x).astype(b.dtype)
+            Ax = self._scatter_stiffness(x_in)
+            return jnp.where(mask, x, Ax)
+
+        At = lambda x: A(x) / dtilde
+        lmax = power_iteration_lmax(At, self.n_dofs, iters=power_iters)
+        cheb = chebyshev_solver(At, lmax / ratio, 1.05 * lmax, degree)
+        self._ell = (eq, lambda r: cheb(r / dtilde))
+        self._step_jit = None
+
     # -- context ------------------------------------------------------------
 
     @property
@@ -297,13 +368,23 @@ class CoupledSystem:
             )
         return blocks
 
+    _ell = None  # optional (eq, chebyshev solver, jacobi diag)
+
     def block_precond_builder(self, u_old, d_hist, aux, params):
         from ..solvers.precond import block_apply, invert_blocks
 
         def build(delta):
             blocks = self._jacobian_blocks(delta, u_old, d_hist, aux, params)
             inv = invert_blocks(blocks)
-            return lambda r: block_apply(inv, r)
+            if self._ell is None:
+                return lambda r: block_apply(inv, r)
+            eq, ell_solve = self._ell
+
+            def M(r):
+                y = block_apply(inv, r)
+                return y.at[:, eq].set(ell_solve(r[:, eq]))
+
+            return M
 
         return build
 

@@ -89,6 +89,7 @@ class GlowConfig:
     T_final: float = 5e-5
     quad_degree: int = 4
     project_lumped: bool = False
+    mg_levels: int = 4    # Poisson-block multigrid (<=1 disables)
     dtype: object = None  # None -> f64; jnp.float32 for the TPU-fast path
     newton: NewtonConfig = None
 
@@ -181,6 +182,30 @@ class GlowDischargeModel:
                         quad_degree=cfg.quad_degree, axisymmetric=True,
                         dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
+
+        if cfg.mg_levels > 1:
+            from ..solvers.multigrid import GeometricMultigrid
+
+            spaces = [self.space]
+            nx, ny = cfg.nx, cfg.ny
+            for _ in range(cfg.mg_levels - 1):
+                if nx // 2 < 4 or ny // 2 < 4:
+                    break
+                nx //= 2
+                ny //= 2
+                cmesh = rectangle_mesh((0, 0), (cfg.wall, cfg.gap_length),
+                                       nx, ny, "crossed")
+                spaces.append(FunctionSpace(cmesh, 1))
+            masks = []
+            for sp in spaces:
+                c = sp.dof_coords
+                masks.append(np.isclose(c[:, 1], 0.0)
+                             | np.isclose(c[:, 1], cfg.gap_length))
+            mg = None if len(spaces) < 2 else GeometricMultigrid(
+                spaces, masks, axisymmetric=True,
+                quad_degree=2, dtype=cfg.dtype)
+            if mg is not None:
+                self.system.enable_elliptic_precond(self.n_eq - 1, mg=mg)
 
         self._update_aux_jit = jax.jit(self._update_aux)
 

@@ -85,6 +85,13 @@ class StreamerConfig:
     dtype: object = None          # None -> canonical float (f64 under x64);
                                   # jnp.float32 for the TPU-fast path with
                                   # f64 Krylov reductions
+    mg_levels: int = 4            # multigrid V-cycle on the Poisson block
+                                  # (mesh-independent Krylov counts; ~3x
+                                  # faster steps); <=1 disables
+    # optional z-corridor refinement (z0, z1, dz): uniform dz inside
+    # [z0, z1] (where the ionisation front runs; alpha*dz <~ 1 needed to
+    # resolve it), geometric coarsening outside. ny is then derived.
+    z_corridor: Optional[tuple] = None
     newton: NewtonConfig = None
 
     def __post_init__(self):
@@ -166,20 +173,47 @@ class StreamerModel:
         obj.SIGN = tuple(signs)
         return obj
 
+    @staticmethod
+    def _z_coords(cfg, ny=None) -> np.ndarray:
+        if cfg.z_corridor is None:
+            return _graded_coords(ny, cfg.box_height, cfg.grade,
+                                  cfg.seed_z / cfg.box_height)
+        z0, z1, dz = cfg.z_corridor
+        fine = np.arange(z0, z1 + 0.5 * dz, dz)
+        n_lo = max(2, int(round(np.log(max(z0, dz) / dz) / np.log(1.12))))
+        lo = np.geomspace(dz, max(z0, dz), n_lo)
+        lo = z0 - np.cumsum(lo[::-1])[::-1] + dz  # grow away from corridor
+        lo = lo[(lo > 0) & (lo < z0 - 0.5 * dz)]
+        hi_len = cfg.box_height - z1
+        n_hi = max(2, int(round(np.log(max(hi_len, dz) / dz) / np.log(1.12))))
+        hi = z1 + np.cumsum(np.geomspace(dz, hi_len / 3, n_hi))
+        hi = hi[hi < cfg.box_height - 0.5 * dz]
+        return np.unique(np.concatenate(
+            [[0.0], lo, fine, hi, [cfg.box_height]]))
+
+    @classmethod
+    def _make_mesh(cls, cfg, nx, ny=None, z_scale: int = 1) -> Mesh:
+        xs = _graded_coords(nx, cfg.box_width, cfg.grade, 0.0)
+        if cfg.z_corridor is None:
+            zs = cls._z_coords(cfg, ny)
+        else:
+            z0, z1, dz = cfg.z_corridor
+            cfg2 = type(cfg)(**{**cfg.__dict__,
+                                "z_corridor": (z0, z1, dz * z_scale),
+                                "newton": cfg.newton})
+            zs = cls._z_coords(cfg2)
+        mesh = rectangle_mesh((0, 0), (cfg.box_width, cfg.box_height),
+                              len(xs) - 1, len(zs) - 1)
+        ux = np.unique(mesh.coords[:, 0])
+        uz = np.unique(mesh.coords[:, 1])
+        mesh.coords[:, 0] = np.interp(mesh.coords[:, 0], ux, xs)
+        mesh.coords[:, 1] = np.interp(mesh.coords[:, 1], uz, zs)
+        return Mesh(mesh.coords, mesh.cells)
+
     def __init__(self, cfg: StreamerConfig = None, mesh: Optional[Mesh] = None):
         self.cfg = cfg = cfg or StreamerConfig()
         if mesh is None:
-            xs = _graded_coords(cfg.nx, cfg.box_width, cfg.grade, 0.0)
-            zs = _graded_coords(cfg.ny, cfg.box_height, cfg.grade,
-                                cfg.seed_z / cfg.box_height)
-            mesh = rectangle_mesh((0, 0), (cfg.box_width, cfg.box_height),
-                                  cfg.nx, cfg.ny)
-            # replace uniform coords by graded tensor-product coordinates
-            ux = np.unique(mesh.coords[:, 0])
-            uz = np.unique(mesh.coords[:, 1])
-            mesh.coords[:, 0] = np.interp(mesh.coords[:, 0], ux, xs)
-            mesh.coords[:, 1] = np.interp(mesh.coords[:, 1], uz, zs)
-            mesh = Mesh(mesh.coords, mesh.cells)
+            mesh = self._make_mesh(cfg, cfg.nx, cfg.ny)
         self.mesh = mesh
         # boundary list as in `fedm-streamer.py:98-101`
         mark_boundaries(mesh, [
@@ -215,6 +249,28 @@ class StreamerModel:
                         quad_degree=cfg.quad_degree, axisymmetric=True,
                         dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
+
+        if cfg.mg_levels > 1:
+            from ..solvers.multigrid import GeometricMultigrid
+
+            spaces, masks = [self.space], []
+            nx, ny = cfg.nx, cfg.ny
+            for lv in range(1, cfg.mg_levels):
+                if nx // 2 < 4 or (cfg.z_corridor is None and ny // 2 < 4):
+                    break
+                nx //= 2
+                ny = ny // 2 if ny else ny
+                spaces.append(FunctionSpace(
+                    self._make_mesh(cfg, nx, ny, z_scale=2**lv), 1))
+            for sp in spaces:
+                c = sp.dof_coords
+                masks.append(np.isclose(c[:, 1], 0.0)
+                             | np.isclose(c[:, 1], cfg.box_height))
+            mg = None if len(spaces) < 2 else GeometricMultigrid(
+                spaces, masks, axisymmetric=True,
+                quad_degree=cfg.quad_degree, dtype=cfg.dtype)
+            if mg is not None:
+                self.system.enable_elliptic_precond(2, mg=mg)
 
     # -- coefficient fields at quadrature points ----------------------------
 

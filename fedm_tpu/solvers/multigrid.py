@@ -1,0 +1,134 @@
+"""Geometric multigrid V-cycle for the Poisson block.
+
+The TPU-native answer to the reference's hypre BoomerAMG option
+(`fedm-gd.py:413`, SURVEY.md 2.3 'AMG-lite'): a V-cycle over nested
+structured meshes with Chebyshev smoothing (linear, fixed-degree — no
+data-dependent control flow, so the whole preconditioner jits and remains
+a FIXED linear operator, as BiCGStab requires), a precomputed dense
+inverse on the coarsest level, and pure gather/segment-sum transfers.
+
+Mesh-independent convergence: the composed Newton-Krylov outer iteration
+count stops growing with resolution, which is what makes large meshes
+affordable without a sparse direct solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.assembly import CellBatch
+from ..fem.interpolation import p1_transfer, prolong, restrict
+from ..fem.space import FunctionSpace
+from .chebyshev import chebyshev_solver, power_iteration_lmax
+
+Array = jax.Array
+
+
+class _Level:
+    def __init__(self, space: FunctionSpace, batch: CellBatch,
+                 mask: Array):
+        self.space = space
+        self.batch = batch
+        self.mask = mask
+        self.n = space.n_dofs
+
+        g = batch.grads
+        g2 = jnp.sum(g * g, axis=-1)
+        if g2.shape[1] == 1:
+            contrib = batch.scale.sum(axis=1)[:, None] * g2[:, 0]
+        else:
+            contrib = jnp.einsum("cq,cqa->ca", batch.scale, g2)
+        diag = batch.scatter(contrib)
+        self.dtilde = jnp.where(mask | (diag == 0), 1.0, diag)
+
+    def A(self, x: Array) -> Array:
+        b = self.batch
+        x_in = jnp.where(self.mask, 0.0, x)
+        Ax = b.scatter(b.stiffness(b.grad(b.gather(x_in))))
+        return jnp.where(self.mask, x, Ax)
+
+    def At(self, x: Array) -> Array:
+        return self.A(x) / self.dtilde
+
+
+class GeometricMultigrid:
+    """Build from a fine-to-coarse list of (space, dirichlet_mask).
+
+    `precond(r)` applies one V-cycle approximating A^-1 r for the masked
+    fine-level Laplacian (Dirichlet rows act as identity).
+    """
+
+    def __init__(self, spaces: List[FunctionSpace], masks: List[np.ndarray],
+                 axisymmetric: bool = False, quad_degree: int = 2,
+                 dtype=None, smooth_degree: int = 3,
+                 smooth_ratio: float = 15.0, power_iters: int = 30):
+        assert len(spaces) >= 2, "need at least two levels"
+        self.levels: List[_Level] = []
+        for space, mask in zip(spaces, masks):
+            batch = CellBatch(space, quad_degree=quad_degree,
+                              axisymmetric=axisymmetric, dtype=dtype)
+            self.levels.append(_Level(space, batch, jnp.asarray(mask)))
+
+        # transfers between consecutive levels (fine k -> coarse k+1)
+        self.transfers = []
+        for k in range(len(spaces) - 1):
+            idx, w = p1_transfer(spaces[k + 1], spaces[k], dtype=dtype)
+            self.transfers.append((idx, w))
+
+        # Chebyshev smoothers targeting the upper spectrum per level
+        self.smoothers = []
+        for lev in self.levels[:-1]:
+            lmax = power_iteration_lmax(lev.At, lev.n, iters=power_iters)
+            self.smoothers.append(
+                chebyshev_solver(lev.At, lmax / smooth_ratio, 1.05 * lmax,
+                                 smooth_degree))
+
+        # dense inverse on the coarsest level (setup-time, host)
+        coarse = self.levels[-1]
+        n_c = coarse.n
+        eye = np.eye(n_c)
+        cols = jax.vmap(coarse.A, in_axes=1, out_axes=1)(
+            jnp.asarray(eye, coarse.dtilde.dtype))
+        self._coarse_inv = jnp.asarray(
+            np.linalg.inv(np.asarray(cols, np.float64)),
+            coarse.dtilde.dtype)
+
+    def _vcycle(self, k: int, r: Array) -> Array:
+        if k == len(self.levels) - 1:
+            return self._coarse_inv @ r
+        lev = self.levels[k]
+        smooth = self.smoothers[k]
+        # pre-smooth (on the Jacobi-scaled system)
+        z = smooth(r / lev.dtilde)
+        # coarse-grid correction of the residual
+        res = r - lev.A(z)
+        idx, w = self.transfers[k]
+        r_c = restrict(idx, w, res, self.levels[k + 1].n)
+        r_c = jnp.where(self.levels[k + 1].mask, 0.0, r_c)
+        e_c = self._vcycle(k + 1, r_c)
+        z = z + jnp.where(lev.mask, 0.0, prolong(idx, w, e_c))
+        # post-smooth
+        z = z + smooth((r - lev.A(z)) / lev.dtilde)
+        return z
+
+    def precond(self, r: Array) -> Array:
+        return self._vcycle(0, r)
+
+
+def structured_hierarchy(make_space: Callable[[int, int], FunctionSpace],
+                         nx: int, ny: int, levels: int,
+                         min_cells: int = 4):
+    """Spaces [(nx, ny), (nx/2, ny/2), ...] from a structured generator
+    closure `make_space(nx, ny)`."""
+    spaces = []
+    for _ in range(levels):
+        spaces.append(make_space(nx, ny))
+        if nx // 2 < min_cells or ny // 2 < min_cells:
+            break
+        nx //= 2
+        ny //= 2
+    return spaces
