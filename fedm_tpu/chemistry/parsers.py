@@ -25,7 +25,6 @@ here; evaluation happens through the safe ast-based compiler
 
 from __future__ import annotations
 
-import itertools
 import re
 from pathlib import Path
 from typing import List, Sequence, Tuple
@@ -33,7 +32,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
-def decomment(lines) -> "itertools.chain":
+def decomment(lines):
     """Strip `#` comments; skip blank/comment-only lines."""
     for line in lines:
         line = line.split("#", 1)[0].strip()

@@ -24,7 +24,7 @@ folded into the per-quadrature-point `scale` once at setup.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import numpy as np
 import jax

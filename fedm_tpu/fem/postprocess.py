@@ -10,9 +10,6 @@ via the consistency-term trick).
 
 from __future__ import annotations
 
-from typing import Optional
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -30,11 +30,9 @@ def output_files(file_type: str, type_of_output: str,
 
 
 def mesh_statistics(mesh, output_dir=None) -> str:
-    """Write `mesh/mesh.pvd` and `mesh/mesh info.txt` under the output
+    """Write `mesh/mesh.vtu` and `mesh/mesh info.txt` under the output
     folder and print the statistics (the reference's `mesh_statistics`,
     `fedm/file_io.py:619-631`). Returns the info string."""
-    import numpy as np
-
     from ..mesh import mesh_info
     from .vtu import write_vtu
 

@@ -29,7 +29,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..constants import M_atomic, kB, me
+from ..constants import M_atomic, me
 
 M_AR = 39.948 * M_atomic
 

@@ -28,7 +28,7 @@ The reference reads its mesh from an unshipped `mesh.xml`
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
@@ -40,7 +40,7 @@ from ..constants import elementary_charge, epsilon_0
 from ..fem import CellBatch, FacetBatch, FunctionSpace
 from ..fem.dirichlet import BCSet, DirichletBC
 from ..mesh import Mesh, mark_boundaries, rectangle_mesh
-from ..model.forms import balance_equation_contrib, bdf2_history_part
+from ..model.forms import balance_equation_contrib
 from ..model.system import CoupledSystem, StepParams
 from ..ops.exprs import compile_expression
 from ..solvers.elliptic import solve_poisson

@@ -10,8 +10,8 @@ lockstep compute; acceptance/rejection is per-simulation on the host).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -17,7 +17,6 @@ with the round-1 replicated-state layout they need no explicit psum.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

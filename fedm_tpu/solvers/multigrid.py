@@ -14,7 +14,7 @@ affordable without a sparse direct solver.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 import jax
