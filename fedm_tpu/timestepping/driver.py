@@ -73,6 +73,7 @@ class AdaptiveDriver:
         error_log: Optional[Path] = None,
         max_retries: int = 60,
         verbose: bool = False,
+        fallback_system: Optional[CoupledSystem] = None,
     ):
         self.system = system
         self.monitor_idx = monitor_idx
@@ -89,6 +90,17 @@ class AdaptiveDriver:
         # guess makes ||R(delta0)|| tiny, and the SNES-style rtol target
         # relative to it then falls below the floating-point residual
         # floor, turning good steps into spurious failures.
+        #
+        # Precision escalation: with `fallback_system` (same model built in
+        # a higher precision, e.g. f64 vs the fast f32 system), a Newton
+        # failure retries the SAME dt in the fallback before shrinking dt.
+        # Rationale (measured on the streamer): at sharpening ionisation
+        # fronts the f32 assembly noise floor overtakes the achievable
+        # residual reduction — the linear solve "converges" yet the Newton
+        # update makes no progress — while f64 marches on. Escalation
+        # confines the expensive precision to the handful of hard steps.
+        self.fallback_system = fallback_system
+        self.n_escalated = 0
 
     def _log_error(self, err: float, dt_old: float, dt: float) -> None:
         if self.error_log is None:
@@ -112,6 +124,12 @@ class AdaptiveDriver:
                 print(f"Attempting to solve the equation for t = {t_try} "
                       f"with dt = {dt}", flush=True)
             u_new, info = self.system.step(u_old, u_old, u_old1, aux, params)
+            if not bool(info.converged) and self.fallback_system is not None:
+                if self.verbose:
+                    print(f"Escalating precision for t = {t_try}", flush=True)
+                u_new, info = self.fallback_system.step(
+                    u_old, u_old, u_old1, aux, params)
+                self.n_escalated += 1
             if bool(info.converged):
                 err = float(
                     step_error_norm(
