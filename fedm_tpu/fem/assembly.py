@@ -108,13 +108,15 @@ class CellBatch:
         self.scale = jnp.asarray(scale, dtype)
         self.x_q = jnp.asarray(x_q, dtype)
         self.dofs = jnp.asarray(space.cell_dofs, jnp.int32)
+        # cell size h (max vertex distance), for h-scaled stabilisation terms
+        self.h = jnp.asarray(mesh.cell_h(), dtype)
 
     # -- sharding support ---------------------------------------------------
     # The per-cell arrays form the shardable leading axis; `local_view`
     # rebinds them to a device-local shard inside `shard_map` (see
     # fedm_tpu.parallel.shard).
 
-    _SHARD_FIELDS = ("grads", "scale", "x_q", "dofs")
+    _SHARD_FIELDS = ("grads", "scale", "x_q", "dofs", "h")
     gather_idx = None  # optional ELL scatter metadata [n_blocks, n_dofs, v]
     _meta_blocks = 1
 

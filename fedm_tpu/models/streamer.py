@@ -82,6 +82,11 @@ class StreamerConfig:
     alpha_expr: str = ALPHA_EXPR
     quad_degree: int = 2          # reference sets quadrature_degree=2
     Em_floor: float = 1.0         # [V/m] guard for E_m^-3 style expressions
+    # artificial (streamline-lite) diffusion: adds stab*0.5*mu*|E|*h to the
+    # electron diffusion coefficient. 0 = plain Galerkin like the reference
+    # (which oscillates at under-resolved fronts, docs/STREAMER_STUDY.md);
+    # ~1 keeps the front monotone at the cost of first-order smearing.
+    stab_diffusion: float = 0.0
     dtype: object = None          # None -> canonical float (f64 under x64);
                                   # jnp.float32 for the TPU-fast path with
                                   # f64 Krylov reductions
@@ -298,6 +303,9 @@ class StreamerModel:
         ue_q = cb.value(u_e[..., 1])
         ne_q = jnp.exp(ue_q)
         gue_q = cb.grad(u_e[..., 1])
+        if self.cfg.stab_diffusion:
+            D_q = D_q + (self.cfg.stab_diffusion * 0.5
+                         * mu_q * E_m * cb.h[:, None])
 
         # impact-ionisation source (`fedm-streamer.py:244-245`)
         f_ion = alpha_q * mu_q * E_m * ne_q

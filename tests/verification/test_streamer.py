@@ -73,3 +73,23 @@ def test_streamer_physics_sanity(streamer_run):
     # the positive ion space charge lifts Phi above the anode value near
     # the seed (physical); it stays within a factor of the applied voltage
     assert -1.0 <= u[:, 2].min() and u[:, 2].max() <= 2.0 * m.cfg.U_w
+
+
+def test_stabilised_streamer_steps():
+    """Artificial-diffusion option (docs/STREAMER_STUDY.md): steps accept
+    and the stabilised electron profile stays finite and bounded by the
+    unstabilised one's extremes."""
+    import jax.numpy as jnp
+
+    m0 = StreamerModel(StreamerConfig(nx=16, ny=24))
+    m1 = StreamerModel(StreamerConfig(nx=16, ny=24, stab_diffusion=1.0))
+    s0, s1 = m0.initial_state(), m1.initial_state()
+    d0, d1 = m0.make_driver(), m1.make_driver()
+    for _ in range(3):
+        s0 = d0.advance(s0, {})
+        s1 = d1.advance(s1, {})
+    u0, u1 = np.asarray(s0.u), np.asarray(s1.u)
+    assert np.isfinite(u1).all()
+    assert s1.n_accepted == 3
+    # stabilisation diffuses: the electron peak cannot exceed the plain one
+    assert np.exp(u1[:, 1]).max() <= np.exp(u0[:, 1]).max() * 1.01
