@@ -350,9 +350,12 @@ class StreamerModel:
         r, z = coords[:, 0], coords[:, 1]
         n_ion = cfg.background + cfg.seed_amplitude * np.exp(
             -(r**2 + (z - cfg.seed_z) ** 2) / cfg.seed_width**2)
-        u_ion = jnp.asarray(np.log(n_ion), self.batch.dtype)
-        u_el = jnp.full(self.space.n_dofs, np.log(cfg.background),
-                        self.batch.dtype)
+        # NOTE: the time-stepping state stays float64 regardless of the
+        # compute dtype — the increment formulation depends on forming
+        # u - u_old and u_old - u_old1 in full precision (system docstring)
+        u_ion = jnp.asarray(np.log(n_ion))
+        u_el = jnp.full(self.space.n_dofs, float(np.log(cfg.background)),
+                        u_ion.dtype)
 
         rho_q = (jnp.exp(self.batch.value(self.batch.gather(u_ion)))
                  - jnp.exp(self.batch.value(self.batch.gather(u_el)))) * (
@@ -367,7 +370,7 @@ class StreamerModel:
         phi, relres, _ = solve_poisson(self.batch, rho_q, jnp.asarray(mask),
                                        jnp.asarray(g.astype(
                                            self.batch.dtype)), tol=tol)
-        u = jnp.stack([u_ion, u_el, phi], axis=-1).astype(self.batch.dtype)
+        u = jnp.stack([u_ion, u_el, phi.astype(u_ion.dtype)], axis=-1)
         return TimeState(u=u, u_old=u, u_old1=u, t=0.0,
                          dt=cfg.dt_init, dt_old=1e30)
 

@@ -29,7 +29,7 @@ def test_escalation_rescues_failed_steps():
     assert st.n_accepted == 2
     assert st.n_rejected == 0      # escalation, not rejection
     assert d.n_escalated == 2
-    assert st.u.dtype == jnp.float64  # fallback state flows back
+    assert st.u.dtype == jnp.float64  # the state is always stored f64
 
 
 def test_no_escalation_when_primary_converges():
