@@ -70,9 +70,14 @@ class FunctionSpace:
         # locate each boundary edge in uniq via lexicographic search
         order = np.lexsort((uniq[:, 1], uniq[:, 0]))
         uniq_sorted = uniq[order]
+        # int64 keys: int32 would overflow past ~46k vertices and silently
+        # misplace P2 Dirichlet edge dofs
+        stride = np.int64(mesh.n_verts + 1)
         pos = np.searchsorted(
-            uniq_sorted[:, 0] * (mesh.n_verts + 1) + uniq_sorted[:, 1],
-            bkey[:, 0] * (mesh.n_verts + 1) + bkey[:, 1],
+            uniq_sorted[:, 0].astype(np.int64) * stride
+            + uniq_sorted[:, 1].astype(np.int64),
+            bkey[:, 0].astype(np.int64) * stride
+            + bkey[:, 1].astype(np.int64),
         )
         self._edge_of_facet = (mesh.n_verts + order[pos]).astype(np.int32)
 

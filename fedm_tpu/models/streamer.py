@@ -389,6 +389,10 @@ class StreamerModel:
         T = T_final if T_final is not None else self.cfg.T_final
         driver = self.make_driver(error_log, verbose)
         state = self.initial_state()
-        while abs(state.t - T) / T > 1e-6 and state.n_accepted < max_steps:
+        # clamp each attempted step to the horizon so the run lands exactly
+        # on T and terminates (an unclamped dt would orbit T forever under
+        # the reference's |t-T|/T exit test, `fedm-streamer.py:304`)
+        while state.t < T * (1 - 1e-12) and state.n_accepted < max_steps:
+            state.dt = min(state.dt, T - state.t)
             state = driver.advance(state, {})
         return state

@@ -80,10 +80,20 @@ class BatchedSweep:
             max_error=np.array([s.max_error for s in states]),
         )
 
-    def attempt(self, st: SweepState, aux: Dict) -> SweepState:
+    def attempt(self, st: SweepState, aux: Dict,
+                active: np.ndarray = None) -> SweepState:
         """One lockstep attempted step for every simulation; per-simulation
-        accept/reject with the reference's shrink rules."""
+        accept/reject with the reference's shrink rules.
+
+        `active`: optional [B] bool — simulations marked inactive (already
+        past their horizon) are frozen: their state, t, dt and counters do
+        not change and they cannot raise a dt_min death. They still ride
+        along in the lockstep compute (the batch is one jitted call) but
+        their result is discarded.
+        """
         B = len(st.t)
+        if active is None:
+            active = np.ones(B, dtype=bool)
         t_try = st.t + st.dt
         params = StepParams(jnp.asarray(t_try), jnp.asarray(st.dt),
                             jnp.asarray(st.dt_old))
@@ -91,7 +101,7 @@ class BatchedSweep:
         conv = np.asarray(info.converged)
         errs = np.asarray(self._verr(u_new, st.u))
 
-        accept = conv & (errs < self.ttol)
+        accept = conv & (errs < self.ttol) & active
         # device-side select of accepted columns
         acc_dev = jnp.asarray(accept)[:, None, None]
         u_next = jnp.where(acc_dev, u_new, st.u)
@@ -102,31 +112,41 @@ class BatchedSweep:
         dt = st.dt.copy()
         dt_old = st.dt_old.copy()
         max_error = st.max_error.copy()
+        n_accepted = st.n_accepted.copy()
+        n_rejected = st.n_rejected.copy()
         for b in range(B):
+            if not active[b]:
+                continue
             if accept[b]:
                 max_error[b] = [errs[b], st.max_error[b, 0],
                                 st.max_error[b, 1]]
                 dt_old[b] = st.dt[b]
                 dt[b] = self.controller(st.dt[b], max_error[b], self.ttol,
-                                        self.dt_min, self.dt_max)
-                st.n_accepted[b] += 1
+                                        self.dt_min, self.dt_max,
+                                        dt_old=st.dt_old[b])
+                n_accepted[b] += 1
             else:
                 dt[b] = (st.dt[b] * 0.5 * self.ttol / errs[b]
                          if conv[b] else st.dt[b] * 0.5)
-                st.n_rejected[b] += 1
+                n_rejected[b] += 1
                 if dt[b] < self.dt_min:
                     raise SystemExit(
                         "Minimum time-step size reached, program is "
                         f"terminating (simulation {b}).")
         return SweepState(u=u_next, u_old=u_old_next, u_old1=u_old1_next,
                           t=t, dt=dt, dt_old=dt_old, max_error=max_error,
-                          n_accepted=st.n_accepted,
-                          n_rejected=st.n_rejected)
+                          n_accepted=n_accepted, n_rejected=n_rejected)
 
     def run_until(self, st: SweepState, T_final: float, aux: Dict,
                   max_attempts: int = 100000) -> SweepState:
+        """Advance every simulation to T_final. Finished simulations are
+        frozen (not stepped past the horizon, cannot kill the sweep via
+        dt_min); each active one has its dt clamped to land on T_final."""
         k = 0
-        while (st.t < T_final).any() and k < max_attempts:
-            st = self.attempt(st, aux)
+        while (st.t < T_final * (1 - 1e-12)).any() and k < max_attempts:
+            active = st.t < T_final * (1 - 1e-12)
+            st.dt = np.where(active, np.minimum(st.dt, T_final - st.t),
+                             st.dt)
+            st = self.attempt(st, aux, active=active)
             k += 1
         return st

@@ -74,6 +74,7 @@ class AdaptiveDriver:
         max_retries: int = 60,
         verbose: bool = False,
         fallback_system: Optional[CoupledSystem] = None,
+        crash_checkpoint: Optional[Path] = None,
     ):
         self.system = system
         self.monitor_idx = monitor_idx
@@ -101,6 +102,24 @@ class AdaptiveDriver:
         # confines the expensive precision to the handful of hard steps.
         self.fallback_system = fallback_system
         self.n_escalated = 0
+        # On a dt_min death, save the last good state here first so the
+        # failure is resumable forensics instead of a lost run (the
+        # reference just raises SystemExit, `functions.py:1099-1100`).
+        self.crash_checkpoint = (
+            Path(crash_checkpoint) if crash_checkpoint is not None else None)
+
+    def _die(self, state: TimeState, n_rejected: int, msg: str):
+        if self.crash_checkpoint is not None:
+            from ..io.checkpoint import save_checkpoint
+
+            last_good = TimeState(
+                u=state.u, u_old=state.u_old, u_old1=state.u_old1,
+                t=state.t, dt=state.dt, dt_old=state.dt_old,
+                max_error=list(state.max_error),
+                n_accepted=state.n_accepted, n_rejected=n_rejected)
+            save_checkpoint(self.crash_checkpoint, last_good)
+            msg += f" Last good state saved to {self.crash_checkpoint}."
+        raise SystemExit(msg)
 
     def _log_error(self, err: float, dt_old: float, dt: float) -> None:
         if self.error_log is None:
@@ -114,6 +133,7 @@ class AdaptiveDriver:
         scripts (`fedm-gd.py:421-427`)."""
         u_old1, u_old = state.u_old, state.u
         dt, dt_old = state.dt, state.dt_old
+        n_rejected = state.n_rejected  # local — never mutate the caller's state
 
         for _ in range(self.max_retries):
             t_try = state.t + dt
@@ -141,24 +161,25 @@ class AdaptiveDriver:
                     # accepted: controller proposes the next dt
                     max_error = [err, state.max_error[0], state.max_error[1]]
                     new_dt = self.controller(
-                        dt, max_error, self.ttol, self.dt_min, self.dt_max
+                        dt, max_error, self.ttol, self.dt_min, self.dt_max,
+                        dt_old=dt_old,
                     )
                     return TimeState(
                         u=u_new, u_old=u_old, u_old1=u_old1,
                         t=t_try, dt=new_dt, dt_old=dt,
                         max_error=max_error,
                         n_accepted=state.n_accepted + 1,
-                        n_rejected=state.n_rejected,
+                        n_rejected=n_rejected,
                     )
                 dt = dt * 0.5 * self.ttol / err
-                state.n_rejected += 1
+                n_rejected += 1
             else:
                 dt = dt * 0.5
-                state.n_rejected += 1
+                n_rejected += 1
             if dt < self.dt_min:
-                raise SystemExit(
-                    "Minimum time-step size reached, program is terminating."
-                )
-        raise SystemExit(
-            f"adaptive driver: no accepted step after {self.max_retries} retries"
-        )
+                self._die(state, n_rejected,
+                          "Minimum time-step size reached, program is "
+                          "terminating.")
+        self._die(state, n_rejected,
+                  f"adaptive driver: no accepted step after "
+                  f"{self.max_retries} retries")

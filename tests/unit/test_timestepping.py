@@ -24,7 +24,27 @@ def test_controllers_clamp():
     err = [1e12, 1e12, 1e12]  # huge errors -> shrink, clamp at dt_min
     assert adaptive_timestep(1e-12, err, 1e-4, 1e-13, 1e-9) == 1e-13
     assert adaptive_timestep_PI34(1e-12, err, 1e-4, 1e-13, 1e-9) == 1e-13
-    assert adaptive_timestep_H211b(1e-12, 1e-12, err, 1e-4, 1e-13, 1e-9) == 1e-13
+    assert adaptive_timestep_H211b(1e-12, err, 1e-4, 1e-13, 1e-9,
+                                   dt_old=1e-12) == 1e-13
+
+
+def test_h211b_formula_and_driver_protocol():
+    # formula from fedm/functions.py:940-951 with the dt/dt_old ratio term
+    dt, dt_old, err, tol = 1e-12, 2e-12, [1e-5, 2e-5, 3e-5], 5e-4
+    expected = dt * ((0.8 * tol / err[0]) ** (1 / 12)
+                     * (0.8 * tol / err[1]) ** (1 / 12)
+                     * (dt / dt_old) ** (-1 / 4))
+    got = adaptive_timestep_H211b(dt, err, tol, 1e-15, 1e-8, dt_old=dt_old)
+    assert got == pytest.approx(expected, rel=1e-14)
+    # first step: the reference's 1e30 sentinel must not blow up the ratio
+    got0 = adaptive_timestep_H211b(dt, err, tol, 1e-15, 1e-8, dt_old=1e30)
+    ref0 = adaptive_timestep_H211b(dt, err, tol, 1e-15, 1e-8, dt_old=dt)
+    assert got0 == ref0
+    # all three controllers accept the uniform driver call signature
+    for ctrl in (adaptive_timestep, adaptive_timestep_PI34,
+                 adaptive_timestep_H211b):
+        out = ctrl(dt, err, tol, 1e-15, 1e-8, dt_old=dt_old)
+        assert 1e-15 <= out <= 1e-8
 
 
 def test_bdf2_history_part_limits():
