@@ -82,6 +82,13 @@ class Coefficient:
             out = lut_interp(redfield, self.kx, self.ky) * scale
         elif dep == "Te":
             out = lut_interp(2.0 * energy / (3.0 * kB_eV), self.kx, self.ky)
+        elif dep == "ElecDist":
+            # EEDF-integrated rate tabulated against the mean electron
+            # energy. The reference PARSES this dependence as a two-column
+            # table (`file_io.py:374`) but its runtime interpolation has no
+            # branch for it (`functions.py:698` omits it) — here it is
+            # usable: linear interpolation on the mean energy, like Umean.
+            out = lut_interp(energy, self.kx, self.ky) * scale
         elif dep == "ESR":
             if mu is None:
                 raise ValueError("ESR dependence requires the mobility 'mu'")

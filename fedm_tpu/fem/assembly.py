@@ -110,13 +110,15 @@ class CellBatch:
         self.dofs = jnp.asarray(space.cell_dofs, jnp.int32)
         # cell size h (max vertex distance), for h-scaled stabilisation terms
         self.h = jnp.asarray(mesh.cell_h(), dtype)
+        # per-cell directional extents, for anisotropy-aware upwinding
+        self.h_dir = jnp.asarray(mesh.cell_extents(), dtype)
 
     # -- sharding support ---------------------------------------------------
     # The per-cell arrays form the shardable leading axis; `local_view`
     # rebinds them to a device-local shard inside `shard_map` (see
     # fedm_tpu.parallel.shard).
 
-    _SHARD_FIELDS = ("grads", "scale", "x_q", "dofs", "h")
+    _SHARD_FIELDS = ("grads", "scale", "x_q", "dofs", "h", "h_dir")
     gather_idx = None  # optional ELL scatter metadata [n_blocks, n_dofs, v]
     _meta_blocks = 1
 

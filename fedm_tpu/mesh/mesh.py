@@ -109,6 +109,13 @@ class Mesh:
                 h = np.maximum(h, d)
         return h
 
+    def cell_extents(self) -> np.ndarray:
+        """Per-cell bounding-box extents [n_cells, dim] — the directional
+        cell sizes used by Peclet-limited upwind stabilisation
+        (`fedm_tpu.ops.stabilization.directional_h`)."""
+        x = self.coords[self.cells]  # [n_cells, nv, dim]
+        return x.max(axis=1) - x.min(axis=1)
+
     def hmax(self) -> float:
         return float(self.cell_h().max())
 

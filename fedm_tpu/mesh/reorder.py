@@ -33,6 +33,33 @@ def vertex_adjacency_csr(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
     return rowptr, e[:, 1].astype(np.int32)
 
 
+def cell_adjacency_csr(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
+    """Cell-cell adjacency (cells sharing a facet) in CSR — the dual graph
+    DOLFIN hands to SCOTCH for mesh partitioning. Input to
+    `native.partition_graph` for the shard_map domain decomposition."""
+    cells = mesh.cells
+    if mesh.dim == 1:
+        facets = cells[:, :, None]  # each vertex is a facet
+    else:
+        local = np.array([[1, 2], [0, 2], [0, 1]])
+        facets = np.sort(cells[:, local], axis=2)  # [n_cells, 3, 2]
+    nf = facets.shape[1]
+    flat = facets.reshape(-1, facets.shape[2])
+    owner = np.repeat(np.arange(mesh.n_cells), nf)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s, owner_s = inv[order], owner[order]
+    # interior facets appear exactly twice -> one adjacency pair each
+    is_pair = inv_s[:-1] == inv_s[1:]
+    a, b = owner_s[:-1][is_pair], owner_s[1:][is_pair]
+    e = np.concatenate([np.stack([a, b], 1), np.stack([b, a], 1)])
+    e = e[np.lexsort((e[:, 1], e[:, 0]))]
+    rowptr = np.zeros(mesh.n_cells + 1, dtype=np.int32)
+    np.add.at(rowptr, e[:, 0] + 1, 1)
+    rowptr = np.cumsum(rowptr).astype(np.int32)
+    return rowptr, e[:, 1].astype(np.int32)
+
+
 def bandwidth(mesh: Mesh) -> int:
     """Max |i - j| over cell-local vertex pairs."""
     c = mesh.cells

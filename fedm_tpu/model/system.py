@@ -117,15 +117,22 @@ class CoupledSystem:
 
     def enable_elliptic_precond(self, eq: int, degree: int = 12,
                                 ratio: float = 30.0,
-                                power_iters: int = 40, mg=None) -> None:
+                                power_iters: int = 40, mg=None,
+                                solver=None) -> None:
         """Augment the node-block Jacobi preconditioner with an (approximate)
         solve of the `eq` component's Laplacian — the Poisson block dominates
         the outer Krylov iteration count. With `mg` (a
         solvers.multigrid.GeometricMultigrid) the solve is a V-cycle
-        (mesh-independent); otherwise a Chebyshev polynomial (see
+        (mesh-independent); with `solver` any custom linear-fixed operator
+        r -> ~A^-1 r (e.g. a solvers.linesmoother.ZLineSmoother.solve for
+        anisotropic corridor meshes); otherwise a Chebyshev polynomial (see
         solvers.chebyshev). Call after `shard()` when sharding."""
         from ..solvers.chebyshev import chebyshev_solver, power_iteration_lmax
 
+        if solver is not None:
+            self._ell = (eq, solver)
+            self._step_jit = None
+            return
         if mg is not None:
             self._ell = (eq, mg.precond)
             self._step_jit = None
@@ -152,16 +159,26 @@ class CoupledSystem:
             diag = jnp.asarray(acc, b.dtype)
         dtilde = jnp.where(mask | (diag == 0), 1.0, diag).astype(b.dtype)
 
-        def A(x):
-            x_in = jnp.where(mask, 0.0, x).astype(b.dtype)
-            Ax = self._scatter_stiffness(x_in)
-            return jnp.where(mask, x, Ax)
-
+        A = self.masked_stiffness_op(eq)
         At = lambda x: A(x) / dtilde
         lmax = power_iteration_lmax(At, self.n_dofs, iters=power_iters)
         cheb = chebyshev_solver(At, lmax / ratio, 1.05 * lmax, degree)
         self._ell = (eq, lambda r: cheb(r / dtilde))
         self._step_jit = None
+
+    def masked_stiffness_op(self, eq: int):
+        """The masked Laplacian of component `eq` as a linear operator on
+        [n_dofs] vectors (identity on Dirichlet rows) — the operator the
+        elliptic preconditioners approximate."""
+        mask = self.bcs.mask[:, eq]
+        b = self.cell_batch
+
+        def A(x):
+            x_in = jnp.where(mask, 0.0, x).astype(b.dtype)
+            Ax = self._scatter_stiffness(x_in)
+            return jnp.where(mask, x, Ax)
+
+        return A
 
     # -- context ------------------------------------------------------------
 

@@ -87,12 +87,27 @@ class StreamerConfig:
     # (which oscillates at under-resolved fronts, docs/STREAMER_STUDY.md);
     # ~1 keeps the front monotone at the cost of first-order smearing.
     stab_diffusion: float = 0.0
+    # upwind stabilisation (ops/stabilization.py): 'off' = plain Galerkin
+    # like the reference; 'peclet' = D <- max(D, c*0.5*mu*|E|*h_E) with the
+    # DIRECTIONAL cell size along E — vanishes where the front is resolved,
+    # degrades to monotone first-order upwinding where it is not. This is
+    # the round-2 fix for the round-1 front-oscillation deaths.
+    stab_mode: str = "off"
+    stab_coeff: float = 1.0
     dtype: object = None          # None -> canonical float (f64 under x64);
                                   # jnp.float32 for the TPU-fast path with
                                   # f64 Krylov reductions
     mg_levels: int = 4            # multigrid V-cycle on the Poisson block
                                   # (mesh-independent Krylov counts; ~3x
                                   # faster steps); <=1 disables
+    # Poisson-block preconditioner flavour:
+    #   'mg'       point-Chebyshev-smoothed V-cycle (isotropic meshes)
+    #   'mg-zline' V-cycle with z-line relaxation (anisotropic corridor
+    #              meshes, dz << dr — the round-1 killer; see
+    #              solvers/linesmoother.py and docs/STREAMER_STUDY.md)
+    #   'zline'    single-level z-line Richardson (no hierarchy)
+    poisson_precond: str = "mg"
+    zline_iters: int = 2          # Richardson sweeps for 'zline'
     # optional z-corridor refinement (z0, z1, dz): uniform dz inside
     # [z0, z1] (where the ionisation front runs; alpha*dz <~ 1 needed to
     # resolve it), geometric coarsening outside. ny is then derived.
@@ -255,7 +270,15 @@ class StreamerModel:
                         dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
 
-        if cfg.mg_levels > 1:
+        if cfg.poisson_precond == "zline":
+            from ..solvers.linesmoother import ZLineSmoother
+
+            sm = ZLineSmoother(self.system.masked_stiffness_op(2),
+                               self._node_grid(self.space),
+                               self.space.n_dofs, n_iter=cfg.zline_iters,
+                               dtype=cfg.dtype)
+            self.system.enable_elliptic_precond(2, solver=sm.solve)
+        elif cfg.mg_levels > 1:
             from ..solvers.multigrid import GeometricMultigrid
 
             spaces, masks = [self.space], []
@@ -271,11 +294,26 @@ class StreamerModel:
                 c = sp.dof_coords
                 masks.append(np.isclose(c[:, 1], 0.0)
                              | np.isclose(c[:, 1], cfg.box_height))
+            line_grids = (
+                [self._node_grid(sp) for sp in spaces]
+                if cfg.poisson_precond == "mg-zline" else None)
             mg = None if len(spaces) < 2 else GeometricMultigrid(
                 spaces, masks, axisymmetric=True,
-                quad_degree=cfg.quad_degree, dtype=cfg.dtype)
+                quad_degree=cfg.quad_degree, dtype=cfg.dtype,
+                line_grids=line_grids)
             if mg is not None:
                 self.system.enable_elliptic_precond(2, mg=mg)
+
+    @staticmethod
+    def _node_grid(space) -> np.ndarray:
+        """[n_r, n_z] dof-id grid of a structured 'right' rectangle mesh
+        (node id = iz*n_rv + ir by construction in mesh/generators.py) —
+        the line layout for z-line relaxation."""
+        nxv = len(np.unique(space.mesh.coords[:, 0]))
+        nzv = space.n_dofs // nxv
+        assert nxv * nzv == space.n_dofs, "mesh is not tensor-product"
+        ix, iz = np.meshgrid(np.arange(nxv), np.arange(nzv), indexing="ij")
+        return iz * nxv + ix
 
     # -- coefficient fields at quadrature points ----------------------------
 
@@ -306,6 +344,12 @@ class StreamerModel:
         if self.cfg.stab_diffusion:
             D_q = D_q + (self.cfg.stab_diffusion * 0.5
                          * mu_q * E_m * cb.h[:, None])
+        if self.cfg.stab_mode != "off":
+            from ..ops.stabilization import directional_h, upwind_diffusion
+
+            h_v = directional_h(E_q, E_m, cb.h_dir)
+            D_q = upwind_diffusion(D_q, mu_q * E_m, h_v,
+                                   self.cfg.stab_mode, self.cfg.stab_coeff)
 
         # impact-ionisation source (`fedm-streamer.py:244-245`)
         f_ion = alpha_q * mu_q * E_m * ne_q
@@ -340,6 +384,18 @@ class StreamerModel:
         zero = jnp.zeros_like(contrib_e)
         return jnp.stack([zero, contrib_e, zero], axis=-1)
 
+    # -- multi-chip ----------------------------------------------------------
+
+    def distribute(self, device_mesh, axis: str = "space"):
+        """Swap the system for a DOF-partitioned `DistributedSystem` (halo
+        exchange, 1/N per-device state — `fedm_tpu.parallel.dd`). Call
+        before `initial_state()`; the state is then produced in the
+        distributed layout."""
+        from ..parallel.dd import DistributedSystem
+
+        self.system = DistributedSystem(self.system, device_mesh, axis)
+        return self.system
+
     # -- initial state ------------------------------------------------------
 
     def initial_state(self) -> TimeState:
@@ -371,6 +427,9 @@ class StreamerModel:
                                        jnp.asarray(g.astype(
                                            self.batch.dtype)), tol=tol)
         u = jnp.stack([u_ion, u_el, phi.astype(u_ion.dtype)], axis=-1)
+        to_dist = getattr(self.system, "to_dist", None)
+        if to_dist is not None:
+            u = to_dist(u)
         return TimeState(u=u, u_old=u, u_old1=u, t=0.0,
                          dt=cfg.dt_init, dt_old=1e30)
 

@@ -1,19 +1,21 @@
 // fedm_tpu native runtime components (C ABI, loaded via ctypes).
 //
 // The reference delegates its native layer to DOLFIN/PETSc (SURVEY.md
-// section 2.3). Here the TPU compute path is XLA, and the host-side
-// runtime pieces that benefit from native code live in this module:
+// section 2.3). Here the TPU compute path is XLA; the host-side runtime
+// pieces that benefit from native code live in this module:
 //
 //  - reverse Cuthill-McKee ordering: node renumbering for gather/scatter
-//    locality on TPU (bandwidth reduction of the dof adjacency);
-//  - ILU(0) factorisation + triangular solves on CSR matrices (host-side
-//    preconditioning utilities);
-//  - base64 encoding for binary VTU output.
+//    locality on TPU (bandwidth reduction of the dof adjacency), also the
+//    seed ordering for partitioning;
+//  - greedy graph-growing mesh partitioning: the setup-time counterpart
+//    of DOLFIN's SCOTCH partitioning at mesh distribution
+//    (/root/reference/README.md:66 `mpirun -np N`; partitioning happens
+//    inside DOLFIN's C++ mesh constructor). Feeds the shard_map domain
+//    decomposition (fedm_tpu/parallel/dd.py).
 //
-// Build: fedm_tpu/native/build.py (g++ -O3 -shared -fPIC).
+// Build: fedm_tpu/native/__init__.py (g++ -O3 -shared -fPIC on first use).
 
 #include <cstdint>
-#include <cstring>
 #include <queue>
 #include <vector>
 #include <algorithm>
@@ -62,84 +64,59 @@ void rcm_order(int n, const int* rowptr, const int* colidx, int* perm) {
     for (int i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
 }
 
-// In-place ILU(0) on CSR (vals modified; pattern unchanged). Requires
-// sorted column indices per row and present diagonal. Returns 0 on
-// success, row+1 of a zero pivot otherwise.
-int ilu0(int n, const int* rowptr, const int* colidx, double* vals) {
-    std::vector<int> diag(n, -1);
-    for (int i = 0; i < n; ++i)
-        for (int k = rowptr[i]; k < rowptr[i + 1]; ++k)
-            if (colidx[k] == i) diag[i] = k;
-    for (int i = 0; i < n; ++i)
-        if (diag[i] < 0) return i + 1;
-
-    // work array: column -> position in current row
-    std::vector<int> pos(n, -1);
-    for (int i = 0; i < n; ++i) {
-        for (int k = rowptr[i]; k < rowptr[i + 1]; ++k) pos[colidx[k]] = k;
-        for (int k = rowptr[i]; k < rowptr[i + 1]; ++k) {
-            int j = colidx[k];
-            if (j >= i) break;
-            double piv = vals[diag[j]];
-            if (piv == 0.0) return j + 1;
-            double lij = vals[k] / piv;
-            vals[k] = lij;
-            for (int kk = diag[j] + 1; kk < rowptr[j + 1]; ++kk) {
-                int p = pos[colidx[kk]];
-                if (p >= 0) vals[p] -= lij * vals[kk];
+// Greedy graph-growing partition of a CSR graph into n_parts balanced,
+// mostly-connected parts. For each part a frontier is grown from an
+// unassigned seed; the next cell added is the frontier entry with the
+// most already-in-part neighbours (gain), which keeps part boundaries —
+// and hence the halo exchanged per Krylov matvec — short. Exact balance:
+// part sizes differ by at most one. part[i] in [0, n_parts).
+void partition_graph(int n, const int* rowptr, const int* colidx,
+                     int n_parts, int* part) {
+    std::vector<int> gain(n, 0);
+    std::fill(part, part + n, -1);
+    int assigned = 0;
+    for (int p = 0; p < n_parts; ++p) {
+        int quota = (n - assigned) / (n_parts - p);
+        if (quota == 0) continue;
+        // seed: unassigned node of minimum unassigned-degree (a corner)
+        int seed = -1, seed_deg = 1 << 30;
+        for (int i = 0; i < n; ++i) {
+            if (part[i] >= 0) continue;
+            int d = 0;
+            for (int k = rowptr[i]; k < rowptr[i + 1]; ++k)
+                if (part[colidx[k]] < 0) ++d;
+            if (d < seed_deg) { seed = i; seed_deg = d; }
+        }
+        // grow: max-gain-first priority queue of (gain, -insertion) pairs
+        typedef std::pair<int, int> PQE;  // (gain, node); stale entries skipped
+        std::priority_queue<PQE> pq;
+        pq.push({0, seed});
+        int taken = 0;
+        while (taken < quota && !pq.empty()) {
+            int u = pq.top().second;
+            int g = pq.top().first;
+            pq.pop();
+            if (part[u] >= 0 || g != gain[u]) continue;  // stale
+            part[u] = p;
+            ++taken;
+            ++assigned;
+            for (int k = rowptr[u]; k < rowptr[u + 1]; ++k) {
+                int v = colidx[k];
+                if (v >= 0 && v < n && part[v] < 0) {
+                    ++gain[v];
+                    pq.push({gain[v], v});
+                }
             }
         }
-        for (int k = rowptr[i]; k < rowptr[i + 1]; ++k) pos[colidx[k]] = -1;
+        // disconnected remainder: fill quota from arbitrary unassigned
+        for (int i = 0; taken < quota && i < n; ++i) {
+            if (part[i] < 0) { part[i] = p; ++taken; ++assigned; }
+        }
+        for (int i = 0; i < n; ++i) gain[i] = 0;
     }
-    return 0;
-}
-
-// Solve (L+I) y = b then (U) x = y for an ILU(0)-factored CSR matrix.
-void ilu0_solve(int n, const int* rowptr, const int* colidx,
-                const double* vals, const double* b, double* x) {
-    std::vector<int> diag(n);
+    // safety: anything left goes to the last part
     for (int i = 0; i < n; ++i)
-        for (int k = rowptr[i]; k < rowptr[i + 1]; ++k)
-            if (colidx[k] == i) diag[i] = k;
-    // forward: unit lower
-    for (int i = 0; i < n; ++i) {
-        double s = b[i];
-        for (int k = rowptr[i]; k < diag[i]; ++k)
-            s -= vals[k] * x[colidx[k]];
-        x[i] = s;
-    }
-    // backward: upper
-    for (int i = n - 1; i >= 0; --i) {
-        double s = x[i];
-        for (int k = diag[i] + 1; k < rowptr[i + 1]; ++k)
-            s -= vals[k] * x[colidx[k]];
-        x[i] = s / vals[diag[i]];
-    }
-}
-
-// Standard base64; out must hold 4*ceil(n/3)+1 bytes. Returns length.
-long b64_encode(const uint8_t* in, long n, char* out) {
-    static const char tbl[] =
-        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
-    long o = 0;
-    long i = 0;
-    for (; i + 2 < n; i += 3) {
-        uint32_t v = (in[i] << 16) | (in[i + 1] << 8) | in[i + 2];
-        out[o++] = tbl[(v >> 18) & 63];
-        out[o++] = tbl[(v >> 12) & 63];
-        out[o++] = tbl[(v >> 6) & 63];
-        out[o++] = tbl[v & 63];
-    }
-    if (i < n) {
-        uint32_t v = in[i] << 16;
-        if (i + 1 < n) v |= in[i + 1] << 8;
-        out[o++] = tbl[(v >> 18) & 63];
-        out[o++] = tbl[(v >> 12) & 63];
-        out[o++] = (i + 1 < n) ? tbl[(v >> 6) & 63] : '=';
-        out[o++] = '=';
-    }
-    out[o] = '\0';
-    return o;
+        if (part[i] < 0) part[i] = n_parts - 1;
 }
 
 }  // extern "C"

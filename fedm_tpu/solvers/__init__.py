@@ -1,4 +1,4 @@
-from .linear import cg, bicgstab
+from .linear import cg, bicgstab, gmres
 from .newton import newton_krylov, NewtonConfig
 
-__all__ = ["cg", "bicgstab", "newton_krylov", "NewtonConfig"]
+__all__ = ["cg", "bicgstab", "gmres", "newton_krylov", "NewtonConfig"]

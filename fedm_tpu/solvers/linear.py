@@ -130,3 +130,108 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
             jnp.asarray(False))
     x, r, *_, k, broke = lax.while_loop(cond, body, init)
     return x, _norm(r) / bnorm, k
+
+
+def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
+          precond: Optional[Callable] = None, tol: float = 1e-8,
+          atol: float = 0.0, maxiter: int = 1000, restart: int = 30):
+    """Restarted GMRES(m) with right preconditioning and Givens rotations.
+
+    The reference's Krylov alternative to MUMPS is gmres+AMG
+    (`examples/glow_discharge/fedm-gd.py:413`,
+    `fedm/functions.py:1206`); here it is the robustness fallback when
+    BiCGStab breaks down on nonsymmetric stiff systems. Right
+    preconditioning keeps the monitored residual the TRUE residual, so
+    the returned `relres` is directly comparable across solvers.
+
+    Returns (x, relative_residual, iterations).
+    """
+    M = precond or _identity
+    acc = _acc_dtype(b)
+    m = restart
+    shape, n = b.shape, b.size
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = jnp.maximum(_norm(b), 1e-300)
+    target = jnp.maximum(tol * bnorm, atol)
+    tiny = jnp.asarray(1e-290 if acc == jnp.float64 else 1e-32, acc)
+
+    def arnoldi_cycle(x):
+        r = b - matvec(x)
+        beta = _norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype)
+        V = V.at[0].set((r / jnp.maximum(beta, tiny).astype(r.dtype))
+                        .reshape(-1))
+        g = jnp.zeros(m + 1, acc).at[0].set(beta)
+        H = jnp.zeros((m + 1, m), acc)
+        cs = jnp.zeros(m, acc)
+        sn = jnp.zeros(m, acc)
+
+        def inner_cond(st):
+            _, _, _, _, _, j, res = st
+            return (j < m) & (res > target)
+
+        def inner_body(st):
+            V, H, g, cs, sn, j, _ = st
+            w = matvec(M(V[j].reshape(shape))).reshape(-1)
+
+            # modified Gram-Schmidt against V[0..j] (masked full loop)
+            def mgs(k, wh):
+                w, hcol = wh
+                hk = jnp.where(k <= j, _dot(V[k], w), 0.0)
+                return w - hk.astype(w.dtype) * V[k], hcol.at[k].set(hk)
+
+            w, hcol = lax.fori_loop(0, m + 1, mgs,
+                                    (w, jnp.zeros(m + 1, acc)))
+            hj1 = _norm(w)
+            V = V.at[j + 1].set((w / jnp.maximum(hj1, tiny).astype(w.dtype)))
+            hcol = hcol.at[j + 1].set(hj1)
+
+            # previously accumulated Givens rotations
+            def rot(k, hc):
+                apply = k < j
+                a0, a1 = hc[k], hc[k + 1]
+                n0 = jnp.where(apply, cs[k] * a0 + sn[k] * a1, a0)
+                n1 = jnp.where(apply, -sn[k] * a0 + cs[k] * a1, a1)
+                return hc.at[k].set(n0).at[k + 1].set(n1)
+
+            hcol = lax.fori_loop(0, m, rot, hcol)
+            # new rotation zeroing hcol[j+1]
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            safe = jnp.maximum(denom, tiny)
+            c, s = hcol[j] / safe, hcol[j + 1] / safe
+            cs, sn = cs.at[j].set(c), sn.at[j].set(s)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            H = H.at[:, j].set(hcol)
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            return V, H, g, cs, sn, j + 1, jnp.abs(g[j + 1])
+
+        V, H, g, cs, sn, j, res = lax.while_loop(
+            inner_cond, inner_body,
+            (V, H, g, cs, sn, jnp.int32(0), beta))
+
+        # back substitution on the j x j system (masked to full m)
+        Hd = H[:m, :m]
+        diag = jnp.abs(jnp.diagonal(Hd))
+
+        def back(i, y):
+            k = m - 1 - i
+            val = (g[k] - jnp.dot(Hd[k], y)) / jnp.where(
+                diag[k] < tiny, 1.0, Hd[k, k])
+            return y.at[k].set(jnp.where(k < j, val, 0.0))
+
+        y = lax.fori_loop(0, m, back, jnp.zeros(m, acc))
+        z = jnp.tensordot(y.astype(b.dtype), V[:m], axes=1).reshape(shape)
+        return x + M(z), res, j
+
+    def cond(state):
+        _, res, k = state
+        return (res > target) & (k < maxiter)
+
+    def body(state):
+        x, _, k = state
+        x, res, j = arnoldi_cycle(x)
+        return x, res, k + j
+
+    r0 = _norm(b - matvec(x))
+    x, res, k = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    return x, res / bnorm, k

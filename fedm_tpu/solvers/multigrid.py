@@ -65,7 +65,13 @@ class GeometricMultigrid:
     def __init__(self, spaces: List[FunctionSpace], masks: List[np.ndarray],
                  axisymmetric: bool = False, quad_degree: int = 2,
                  dtype=None, smooth_degree: int = 3,
-                 smooth_ratio: float = 15.0, power_iters: int = 30):
+                 smooth_ratio: float = 15.0, power_iters: int = 30,
+                 line_grids: List[np.ndarray] = None):
+        """`line_grids` (optional): per-level [n_i, n_j] dof-id grids —
+        switches the smoother from point-Chebyshev to z-line relaxation
+        (solvers.linesmoother), the anisotropy-robust choice for
+        dz << dr corridor meshes (docs/STREAMER_STUDY.md conclusion 3:
+        point smoothing + anisotropic cells makes MG worse, not better)."""
         assert len(spaces) >= 2, "need at least two levels"
         self.levels: List[_Level] = []
         for space, mask in zip(spaces, masks):
@@ -79,13 +85,22 @@ class GeometricMultigrid:
             idx, w = p1_transfer(spaces[k + 1], spaces[k], dtype=dtype)
             self.transfers.append((idx, w))
 
-        # Chebyshev smoothers targeting the upper spectrum per level
+        # smoothers per level: r -> z ~ A^-1 r (high-frequency part)
         self.smoothers = []
-        for lev in self.levels[:-1]:
-            lmax = power_iteration_lmax(lev.At, lev.n, iters=power_iters)
-            self.smoothers.append(
-                chebyshev_solver(lev.At, lmax / smooth_ratio, 1.05 * lmax,
-                                 smooth_degree))
+        for k, lev in enumerate(self.levels[:-1]):
+            if line_grids is not None:
+                from .linesmoother import ZLineSmoother
+
+                line = ZLineSmoother(lev.A, line_grids[k], lev.n,
+                                     n_iter=1, dtype=dtype)
+                self.smoothers.append(
+                    lambda r, line=line: line.solve(r))
+            else:
+                lmax = power_iteration_lmax(lev.At, lev.n, iters=power_iters)
+                cheb = chebyshev_solver(lev.At, lmax / smooth_ratio,
+                                        1.05 * lmax, smooth_degree)
+                self.smoothers.append(
+                    lambda r, cheb=cheb, lev=lev: cheb(r / lev.dtilde))
 
         # dense inverse on the coarsest level (setup-time, host)
         coarse = self.levels[-1]
@@ -102,8 +117,8 @@ class GeometricMultigrid:
             return self._coarse_inv @ r
         lev = self.levels[k]
         smooth = self.smoothers[k]
-        # pre-smooth (on the Jacobi-scaled system)
-        z = smooth(r / lev.dtilde)
+        # pre-smooth
+        z = smooth(r)
         # coarse-grid correction of the residual
         res = r - lev.A(z)
         idx, w = self.transfers[k]
@@ -112,7 +127,7 @@ class GeometricMultigrid:
         e_c = self._vcycle(k + 1, r_c)
         z = z + jnp.where(lev.mask, 0.0, prolong(idx, w, e_c))
         # post-smooth
-        z = z + smooth((r - lev.A(z)) / lev.dtilde)
+        z = z + smooth(r - lev.A(z))
         return z
 
     def precond(self, r: Array) -> Array:

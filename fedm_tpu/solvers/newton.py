@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .linear import bicgstab, cg, _norm
+from .linear import bicgstab, cg, gmres, _norm
 
 Array = jax.Array
 
@@ -36,9 +36,16 @@ class NewtonConfig:
     rtol: float = 1e-4          # reference scripts: 1e-4 (gd/streamer), 1e-10 (tof)
     atol: float = 0.0
     max_iter: int = 20
-    linear_solver: str = "bicgstab"  # 'bicgstab' | 'cg'
+    linear_solver: str = "bicgstab"  # 'bicgstab' | 'cg' | 'gmres'
     linear_tol: float = 1e-4
     linear_maxiter: int = 300
+    gmres_restart: int = 30
+    # BiCGStab breakdown recovery: when the inner solve exits above
+    # linear_tol (rho/omega underflow or stagnation), rerun the same
+    # preconditioned system with GMRES(m) before giving the step to the
+    # line search — the reference's own alternative solver is gmres+AMG
+    # (`fedm-gd.py:413`). lax.cond executes the fallback only when needed.
+    gmres_fallback: bool = True
     max_halvings: int = 6       # line-search backtracking depth
     armijo: float = 1e-4
     max_stalls: int = 2         # consecutive non-reducing iterations allowed
@@ -62,7 +69,8 @@ def newton_krylov(
     precond_builder: Optional[Callable[[Array], Callable]] = None,
 ):
     """Solve residual(u) = 0 starting from u0. Returns (u, NewtonInfo)."""
-    lin = {"bicgstab": bicgstab, "cg": cg}[config.linear_solver]
+    lin = {"bicgstab": bicgstab, "cg": cg,
+           "gmres": gmres}[config.linear_solver]
 
     f0 = residual(u0)
     f0_norm = _norm(f0)
@@ -92,6 +100,12 @@ def newton_krylov(
                 jvp, -f, precond=M,
                 tol=config.linear_tol, maxiter=config.linear_maxiter,
             )
+        elif config.linear_solver == "gmres":
+            delta, linres, _ = gmres(
+                lambda v: M(jvp(v)), M(-f),
+                tol=config.linear_tol, maxiter=config.linear_maxiter,
+                restart=config.gmres_restart,
+            )
         else:
             # LEFT preconditioning: the log-density formulation produces
             # residual rows spanning hundreds of orders of magnitude (the
@@ -102,6 +116,20 @@ def newton_krylov(
                 lambda v: M(jvp(v)), M(-f),
                 tol=config.linear_tol, maxiter=config.linear_maxiter,
             )
+            if config.gmres_fallback:
+                def _fallback(args):
+                    delta0, _ = args
+                    d, lr, _ = gmres(
+                        lambda v: M(jvp(v)), M(-f), x0=delta0,
+                        tol=config.linear_tol,
+                        maxiter=config.linear_maxiter,
+                        restart=config.gmres_restart,
+                    )
+                    return d, lr
+
+                delta, linres = lax.cond(
+                    linres > config.linear_tol, _fallback,
+                    lambda args: args, (delta, linres))
 
         # backtracking line search (SNES newtonls-style damping)
         def ls_cond(ls):

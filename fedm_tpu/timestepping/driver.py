@@ -74,6 +74,7 @@ class AdaptiveDriver:
         max_retries: int = 60,
         verbose: bool = False,
         fallback_system: Optional[CoupledSystem] = None,
+        escalate_after_rejects: int = 2,
         crash_checkpoint: Optional[Path] = None,
     ):
         self.system = system
@@ -100,7 +101,17 @@ class AdaptiveDriver:
         # residual reduction — the linear solve "converges" yet the Newton
         # update makes no progress — while f64 marches on. Escalation
         # confines the expensive precision to the handful of hard steps.
+        #
+        # Rejection-rate trigger (round-2 refinement, the study's planned
+        # fix): failure-triggered escalation engages too late — by the
+        # time f32 Newton *fails*, the accepted states already carry the
+        # front oscillation ("death-state resume + f64 escalation: no
+        # rescue", docs/STREAMER_STUDY.md). So after
+        # `escalate_after_rejects` rejected attempts within one advance,
+        # ALL remaining attempts of that advance run in the fallback
+        # precision, while the state is still healthy.
         self.fallback_system = fallback_system
+        self.escalate_after_rejects = escalate_after_rejects
         self.n_escalated = 0
         # On a dt_min death, save the last good state here first so the
         # failure is resumable forensics instead of a lost run (the
@@ -134,6 +145,7 @@ class AdaptiveDriver:
         u_old1, u_old = state.u_old, state.u
         dt, dt_old = state.dt, state.dt_old
         n_rejected = state.n_rejected  # local — never mutate the caller's state
+        rejects_here = 0  # rejections within THIS advance
 
         for _ in range(self.max_retries):
             t_try = state.t + dt
@@ -143,8 +155,17 @@ class AdaptiveDriver:
             if self.verbose:
                 print(f"Attempting to solve the equation for t = {t_try} "
                       f"with dt = {dt}", flush=True)
-            u_new, info = self.system.step(u_old, u_old, u_old1, aux, params)
-            if not bool(info.converged) and self.fallback_system is not None:
+            escalated = (self.fallback_system is not None
+                         and rejects_here >= self.escalate_after_rejects)
+            solve_sys = self.fallback_system if escalated else self.system
+            if escalated:
+                self.n_escalated += 1
+                if self.verbose:
+                    print(f"Escalating precision for t = {t_try} "
+                          f"(rejection-rate trigger)", flush=True)
+            u_new, info = solve_sys.step(u_old, u_old, u_old1, aux, params)
+            if (not bool(info.converged) and not escalated
+                    and self.fallback_system is not None):
                 if self.verbose:
                     print(f"Escalating precision for t = {t_try}", flush=True)
                 u_new, info = self.fallback_system.step(
@@ -173,9 +194,11 @@ class AdaptiveDriver:
                     )
                 dt = dt * 0.5 * self.ttol / err
                 n_rejected += 1
+                rejects_here += 1
             else:
                 dt = dt * 0.5
                 n_rejected += 1
+                rejects_here += 1
             if dt < self.dt_min:
                 self._die(state, n_rejected,
                           "Minimum time-step size reached, program is "

@@ -215,3 +215,18 @@ def test_expression_compiler_rejects_malicious():
     ]:
         with pytest.raises(ExpressionError):
             compile_expression(bad)
+
+
+def test_elecdist_rate_coefficient_evaluates():
+    # ElecDist: parsed as a two-column table by the reference
+    # (file_io.py:374) but unusable at runtime there (functions.py:698);
+    # here it interpolates on the mean electron energy
+    import jax.numpy as jnp
+    from fedm_tpu.chemistry.coefficients import Coefficient
+
+    kx = jnp.asarray([0.0, 1.0, 2.0, 4.0])
+    ky = jnp.asarray([0.0, 2.0, 4.0, 8.0])
+    c = Coefficient("ElecDist", kx, ky, kind="rate")
+    en = jnp.asarray([0.5, 3.0])
+    out = np.asarray(c.evaluate(energy=en))
+    np.testing.assert_allclose(out, [1.0, 6.0], rtol=1e-12)

@@ -1,74 +1,17 @@
-"""Native C++ runtime components (with fallbacks) and RCM reordering."""
-
-import base64
+"""Native C++ runtime components (with fallbacks): RCM reordering and the
+greedy graph-growing mesh partitioner that feeds the domain decomposition."""
 
 import numpy as np
-import pytest
 
-from fedm_tpu.native import (b64encode, b64encode_native, ilu0, ilu0_solve,
-                             native_available, rcm_order)
+from fedm_tpu.native import native_available, partition_graph, rcm_order
 from fedm_tpu.mesh import rectangle_mesh
-from fedm_tpu.mesh.reorder import bandwidth, rcm_reorder, vertex_adjacency_csr
+from fedm_tpu.mesh.reorder import (bandwidth, cell_adjacency_csr, rcm_reorder,
+                                   vertex_adjacency_csr)
 
 
 def test_native_builds():
     # g++ is in the image; the native path must actually build
     assert native_available()
-
-
-def _csr_from_dense(A):
-    n = A.shape[0]
-    rowptr = [0]
-    colidx, vals = [], []
-    for i in range(n):
-        for j in range(n):
-            if A[i, j] != 0:
-                colidx.append(j)
-                vals.append(A[i, j])
-        rowptr.append(len(colidx))
-    return (np.asarray(rowptr, np.int32), np.asarray(colidx, np.int32),
-            np.asarray(vals, float))
-
-
-def test_ilu0_exact_for_full_pattern():
-    # with a dense pattern ILU(0) == exact LU -> solve is exact
-    rng = np.random.default_rng(0)
-    A = rng.standard_normal((8, 8)) + 8 * np.eye(8)
-    rowptr, colidx, vals = _csr_from_dense(A)
-    fact = ilu0(rowptr, colidx, vals)
-    b = rng.standard_normal(8)
-    x = ilu0_solve(rowptr, colidx, fact, b)
-    np.testing.assert_allclose(A @ x, b, atol=1e-10)
-
-
-def test_ilu0_preconditioner_quality_sparse():
-    # 1D Laplacian: ILU(0) == exact Cholesky-like factorisation
-    n = 50
-    A = np.zeros((n, n))
-    for i in range(n):
-        A[i, i] = 2.0
-        if i > 0:
-            A[i, i - 1] = -1.0
-        if i < n - 1:
-            A[i, i + 1] = -1.0
-    rowptr, colidx, vals = _csr_from_dense(A)
-    fact = ilu0(rowptr, colidx, vals)
-    b = np.ones(n)
-    x = ilu0_solve(rowptr, colidx, fact, b)
-    np.testing.assert_allclose(A @ x, b, atol=1e-9)
-
-
-def test_ilu0_zero_pivot_raises():
-    A = np.array([[0.0, 1.0], [1.0, 0.0]])
-    rowptr, colidx, vals = _csr_from_dense(A)
-    with pytest.raises(ZeroDivisionError):
-        ilu0(rowptr, colidx, vals)
-
-
-def test_b64_matches_stdlib():
-    for payload in [b"", b"a", b"ab", b"abc", bytes(range(256)) * 7]:
-        assert b64encode(payload) == base64.b64encode(payload)
-        assert b64encode_native(payload) == base64.b64encode(payload)
 
 
 def test_rcm_reduces_bandwidth():
@@ -104,3 +47,56 @@ def test_rcm_perm_valid_on_interval():
     rowptr, colidx = vertex_adjacency_csr(m)
     perm = rcm_order(rowptr, colidx)
     assert sorted(perm.tolist()) == list(range(11))
+
+
+def _check_partition(mesh, part, n_parts):
+    n = mesh.n_cells
+    sizes = np.bincount(part, minlength=n_parts)
+    assert sizes.sum() == n
+    # balanced to within one cell
+    assert sizes.max() - sizes.min() <= 1
+    assert part.min() >= 0 and part.max() < n_parts
+
+
+def _edge_cut(rowptr, colidx, part):
+    cut = 0
+    for i in range(len(rowptr) - 1):
+        for k in range(rowptr[i], rowptr[i + 1]):
+            j = colidx[k]
+            if j > i and part[i] != part[j]:
+                cut += 1
+    return cut
+
+
+def test_partition_balanced_and_local():
+    mesh = rectangle_mesh((0, 0), (1, 1), 24, 24, "crossed")
+    rowptr, colidx = cell_adjacency_csr(mesh)
+    for n_parts in (2, 4, 8):
+        part = partition_graph(rowptr, colidx, n_parts)
+        _check_partition(mesh, part, n_parts)
+        # locality: the edge cut must beat a random partition by a lot
+        rng = np.random.default_rng(0)
+        rand = rng.integers(0, n_parts, mesh.n_cells).astype(np.int32)
+        assert (_edge_cut(rowptr, colidx, part)
+                < 0.25 * _edge_cut(rowptr, colidx, rand))
+
+
+def test_partition_single_part():
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 4)
+    rowptr, colidx = cell_adjacency_csr(mesh)
+    part = partition_graph(rowptr, colidx, 1)
+    assert (part == 0).all()
+
+
+def test_partition_fallback_matches_contract():
+    # the pure-python fallback (RCM slabs) obeys the same balance contract
+    from fedm_tpu import native
+
+    mesh = rectangle_mesh((0, 0), (1, 1), 10, 10)
+    rowptr, colidx = cell_adjacency_csr(mesh)
+    lib, native._lib, native._build_failed = native._lib, None, True
+    try:
+        part = partition_graph(rowptr, colidx, 4)
+    finally:
+        native._lib, native._build_failed = lib, False
+    _check_partition(mesh, part, 4)

@@ -80,3 +80,94 @@ def test_newton_reports_failure_as_flag():
     u, info = newton_krylov(F, u0, NewtonConfig(rtol=1e-12, max_iter=8))
     assert not bool(info.converged)
     assert np.isfinite(float(info.res_norm)) or True  # no exception raised
+
+
+def test_gmres_nonsymmetric_dense():
+    # nonsymmetric well-conditioned system: GMRES must hit the tolerance
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.eye(n) * 4.0 + 0.5 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    from fedm_tpu.solvers.linear import gmres
+
+    x, relres, k = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                         tol=1e-10, maxiter=200, restart=15)
+    assert float(relres) < 1e-9
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-7)
+
+
+def test_gmres_restart_smaller_than_n_converges():
+    # 1D advection-diffusion (nonsymmetric tridiagonal), restart << n
+    n = 120
+    A = (np.diag(np.full(n, 2.5)) + np.diag(np.full(n - 1, -1.5), -1)
+         + np.diag(np.full(n - 1, -0.5), 1))
+    b = np.ones(n)
+    from fedm_tpu.solvers.linear import gmres
+
+    x, relres, k = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                         tol=1e-9, maxiter=600, restart=20)
+    assert float(relres) < 1e-8
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-6)
+
+
+def test_gmres_right_preconditioning_reduces_iterations():
+    rng = np.random.default_rng(5)
+    n = 80
+    d = np.linspace(1.0, 1e4, n)  # badly scaled diagonal
+    A = np.diag(d) + rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    from fedm_tpu.solvers.linear import gmres
+
+    mv = lambda v: jnp.asarray(A) @ v
+    dj = jnp.asarray(d)
+    _, r_plain, k_plain = gmres(mv, jnp.asarray(b), tol=1e-8,
+                                maxiter=400, restart=25)
+    x, r_pc, k_pc = gmres(mv, jnp.asarray(b), precond=lambda v: v / dj,
+                          tol=1e-8, maxiter=400, restart=25)
+    assert float(r_pc) < 1e-7
+    assert int(k_pc) < int(k_plain)
+    # right preconditioning: relres is the TRUE residual
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    np.testing.assert_allclose(res, float(r_pc), rtol=1e-3, atol=1e-12)
+
+
+def test_bicgstab_breakdown_falls_back_to_gmres():
+    # the 2x2 rotation is a textbook BiCGStab hard breakdown:
+    # rhat.(A p) = 0 on the first iteration
+    A = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])
+    b = jnp.asarray([1.0, 0.0])
+    from fedm_tpu.solvers.linear import bicgstab, gmres
+
+    _, relres_b, _ = bicgstab(lambda v: A @ v, b, tol=1e-10, maxiter=50)
+    assert float(relres_b) > 1e-3  # BiCGStab really does break down here
+    _, relres_g, _ = gmres(lambda v: A @ v, b, tol=1e-10, maxiter=50,
+                           restart=2)
+    assert float(relres_g) < 1e-9
+
+    # Newton on the linear residual with the default bicgstab solver must
+    # still converge via the lax.cond GMRES fallback
+    def F(u):
+        return A @ u - b
+
+    u, info = newton_krylov(
+        F, jnp.zeros(2),
+        NewtonConfig(rtol=1e-10, linear_tol=1e-10, gmres_fallback=True),
+        precond_builder=lambda u: (lambda r: r))
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(u), [0.0, 1.0], atol=1e-8)
+
+
+def test_newton_gmres_solver_option():
+    a = jnp.asarray([[4.0], [9.0], [2.0]])
+
+    def F(u):
+        return u * u - a
+
+    u, info = newton_krylov(
+        F, jnp.ones_like(a) * 3.0,
+        NewtonConfig(rtol=1e-12, linear_tol=1e-12, linear_solver="gmres"))
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(u), np.sqrt(np.asarray(a)),
+                               rtol=1e-8)

@@ -41,3 +41,35 @@ def test_no_escalation_when_primary_converges():
                        fallback_system=m64.system)
     st = d.advance(st, {})
     assert d.n_escalated == 0 and st.n_accepted == 1
+
+
+def test_rejection_rate_triggers_escalation():
+    """After `escalate_after_rejects` rejected attempts within one advance,
+    the driver switches the REMAINING attempts to the fallback system while
+    the state is still healthy (docs/STREAMER_STUDY.md round-2 plan)."""
+
+    class CountingSystem:
+        """Primary that converges but yields too-large step errors."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def step(self, *args):
+            self.calls += 1
+            u, info = self.inner.step(*args)
+            # corrupt the step: error above ttol -> rejection
+            return u + 1.0, info
+
+    m = StreamerModel(StreamerConfig(nx=8, ny=12, mg_levels=0))
+    good = m.system
+    bad = CountingSystem(good)
+    st = m.initial_state()
+    d = AdaptiveDriver(bad, 1, 1e-3, 1e-18, 5e-12,
+                       fallback_system=good, escalate_after_rejects=2)
+    st = d.advance(st, {})
+    assert st.n_accepted == 1
+    # exactly 2 rejected attempts on the corrupted primary, then escalation
+    assert bad.calls == 2
+    assert st.n_rejected == 2
+    assert d.n_escalated >= 1

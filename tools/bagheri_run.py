@@ -1,0 +1,135 @@
+"""The Bagheri et al. (PSST 27, 2018) streamer benchmark, end to end.
+
+Runs the reference's flagship case (`examples/streamer_discharge/
+fedm-streamer.py`: U = 18.75 kV, 760 Torr air, 1.25 cm gap, T = 14 ns)
+with the round-2 machinery that round 1 lacked:
+
+  - Peclet-limited upwind stabilisation (monotone fronts on um-to-tens-of-
+    um meshes; plain Galerkin died at 1.47-1.6 ns from front oscillation),
+  - z-line relaxation in the Poisson V-cycle (anisotropic corridor mesh),
+  - f32 compute with rejection-rate-triggered f64 escalation,
+  - periodic checkpoints (resumable; also the stiff-regime restart points
+    bench.py uses).
+
+Usage (TPU or CPU):
+  python tools/bagheri_run.py --out /tmp/bagheri [--dz 2e-5] [--nx 96]
+      [--resume] [--T 1.4e-8] [--checkpoint-every 100]
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path, default=Path("/tmp/bagheri"))
+    ap.add_argument("--dz", type=float, default=2e-5)
+    ap.add_argument("--nx", type=int, default=96)
+    ap.add_argument("--T", type=float, default=1.4e-8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint-every", type=int, default=100)
+    ap.add_argument("--report-every", type=int, default=25)
+    ap.add_argument("--f64", action="store_true", help="full f64 (no escalation)")
+    ap.add_argument("--stab", default="peclet", choices=["off", "peclet", "linear"])
+    ap.add_argument("--precond", default="mg-zline",
+                    choices=["mg", "mg-zline", "zline"])
+    ap.add_argument("--max-steps", type=int, default=100000)
+    args = ap.parse_args()
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    import fedm_tpu  # noqa: F401  (enables x64)
+    from fedm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+    from fedm_tpu.timestepping import AdaptiveDriver
+
+    corridor = (0.0, 1.08e-2, args.dz)
+    common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
+                  poisson_precond=args.precond, T_final=args.T)
+    if args.f64:
+        model = StreamerModel(StreamerConfig(**common))
+        fallback = None
+    else:
+        model = StreamerModel(StreamerConfig(dtype=jnp.float32, **common))
+        fallback = StreamerModel(StreamerConfig(**common), mesh=model.mesh)
+        fallback.system.use_gather_scatter()
+    model.system.use_gather_scatter()
+
+    n_dofs = model.space.n_dofs
+    print(f"devices: {jax.devices()}", flush=True)
+    print(f"mesh: {n_dofs} dofs ({3 * n_dofs} unknowns), dz={args.dz:g}, "
+          f"stab={args.stab}, precond={args.precond}, "
+          f"dtype={'f64' if args.f64 else 'f32+escalation'}", flush=True)
+
+    driver = AdaptiveDriver(
+        model.system, monitor_idx=1, ttol=model.cfg.ttol,
+        dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
+        error_log=args.out / "relative error.log",
+        fallback_system=None if fallback is None else fallback.system,
+        crash_checkpoint=args.out / "crash.npz")
+
+    ckpt = args.out / "checkpoint.npz"
+    if args.resume and ckpt.exists():
+        state = load_checkpoint(ckpt)
+        print(f"resumed from {ckpt}: t={state.t:.4e}, "
+              f"{state.n_accepted} steps", flush=True)
+    else:
+        state = model.initial_state()
+
+    coords = model.space.dof_coords
+    axis = np.isclose(coords[:, 0], 0.0)
+    z_axis = coords[axis, 1]
+
+    def report(state, wall, n_since):
+        u = np.asarray(state.u)
+        ne_axis = np.exp(u[axis, 1])
+        ion_mask = ne_axis > 1e18
+        front = float(z_axis[ion_mask].min()) if ion_mask.any() else float("nan")
+        # peak field on axis from the potential gradient along z
+        order = np.argsort(z_axis)
+        phi = u[axis, 2][order]
+        Ez = -np.gradient(phi, z_axis[order])
+        print(f"t={state.t:.4e} dt={state.dt:.3e} steps={state.n_accepted} "
+              f"rej={state.n_rejected} esc={driver.n_escalated} "
+              f"ne_max={ne_axis.max():.3e} front_z={front:.4e} "
+              f"Emax={np.abs(Ez).max():.3e} "
+              f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
+
+    T = args.T
+    t_wall = time.perf_counter()
+    n_last = state.n_accepted
+    while state.t < T * (1 - 1e-12) and state.n_accepted < args.max_steps:
+        state.dt = min(state.dt, T - state.t)
+        state = driver.advance(state, {})
+        if state.n_accepted % args.report_every == 0:
+            now = time.perf_counter()
+            report(state, now - t_wall, state.n_accepted - n_last)
+            t_wall, n_last = now, state.n_accepted
+        if state.n_accepted % args.checkpoint_every == 0:
+            save_checkpoint(ckpt, state)
+            # keep a trail of stiff-regime restart points
+            if state.n_accepted % (10 * args.checkpoint_every) == 0:
+                save_checkpoint(
+                    args.out / f"checkpoint_{state.n_accepted:06d}.npz",
+                    state)
+
+    save_checkpoint(ckpt, state)
+    report(state, time.perf_counter() - t_wall,
+           state.n_accepted - n_last)
+    done = state.t >= T * (1 - 1e-12)
+    print(f"{'REACHED T_final' if done else 'STOPPED'} at t={state.t:.6e} "
+          f"({state.n_accepted} accepted, {state.n_rejected} rejected, "
+          f"{driver.n_escalated} escalated)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
