@@ -64,8 +64,6 @@ def _locate_points(coarse_mesh, points: np.ndarray, tol: float = 1e-10):
             for by in range(blo[c, 1], bhi[c, 1] + 1):
                 bins.setdefault((bx, by), []).append(c)
 
-    cell_out = np.full(n_pts, -1, dtype=np.int64)
-    w_out = np.zeros((n_pts, 3))
     v0 = x_cells[:, 0]
     T = np.stack([x_cells[:, 1] - v0, x_cells[:, 2] - v0], axis=2)
     det = T[:, 0, 0] * T[:, 1, 1] - T[:, 0, 1] * T[:, 1, 0]
@@ -73,26 +71,32 @@ def _locate_points(coarse_mesh, points: np.ndarray, tol: float = 1e-10):
         [np.stack([T[:, 1, 1], -T[:, 0, 1]], 1),
          np.stack([-T[:, 1, 0], T[:, 0, 0]], 1)], 1) / det[:, None, None]
 
+    # vectorised: pad per-bin candidate lists to K and test every point
+    # against its bin's candidates in one broadcast (the python-loop
+    # version cost minutes on 5e4-node corridor meshes)
+    K = max(len(v) for v in bins.values())
+    bin_tab = np.full((nb * nb, K), -1, dtype=np.int64)
+    for (bx, by), cs in bins.items():
+        bin_tab[bx * nb + by, :len(cs)] = cs
     pb = bin_of(points)
-    for i in range(n_pts):
-        best_c, best_d = -1, np.inf
-        for c in bins.get((pb[i, 0], pb[i, 1]), []):
-            r = points[i] - v0[c]
-            lam12 = inv[c] @ r
-            lam0 = 1.0 - lam12.sum()
-            lams = np.array([lam0, lam12[0], lam12[1]])
-            d = -min(lams.min(), 0.0)
-            if d < best_d:
-                best_d, best_c = d, c
-                best_w = lams
-            if d <= tol:
-                break
-        if best_c < 0 or best_d > 1e-6:
-            raise ValueError(
-                f"point {points[i]} not inside any coarse cell "
-                f"(residual {best_d:.2e})")
-        cell_out[i] = best_c
-        w_out[i] = np.clip(best_w, 0.0, 1.0)
+    cand = bin_tab[pb[:, 0] * nb + pb[:, 1]]        # [n_pts, K]
+    safe = np.where(cand < 0, 0, cand)
+    r = points[:, None, :] - v0[safe]               # [n_pts, K, 2]
+    lam12 = np.einsum("pkij,pkj->pki", inv[safe], r)
+    lam0 = 1.0 - lam12.sum(axis=-1, keepdims=True)
+    lams = np.concatenate([lam0, lam12], axis=-1)   # [n_pts, K, 3]
+    d = -np.minimum(lams.min(axis=-1), 0.0)
+    d[cand < 0] = np.inf
+    best = d.argmin(axis=1)
+    rows = np.arange(n_pts)
+    best_d = d[rows, best]
+    if not (best_d <= 1e-6).all():
+        i = int(best_d.argmax())
+        raise ValueError(
+            f"point {points[i]} not inside any coarse cell "
+            f"(residual {best_d[i]:.2e})")
+    cell_out = cand[rows, best]
+    w_out = np.clip(lams[rows, best], 0.0, 1.0)
     return cell_out, w_out
 
 

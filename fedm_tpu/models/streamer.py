@@ -423,9 +423,18 @@ class StreamerModel:
         mask[cathode | anode] = True
         g[anode] = cfg.U_w
         tol = 1e-12 if self.batch.dtype == jnp.float64 else 1e-6
+        # reuse the system's elliptic preconditioner (MG / z-line): plain
+        # Jacobi-CG exhausts maxiter on anisotropic corridor meshes, and a
+        # silently-unconverged initial field kills the first Newton solve
+        inner = getattr(self.system, "inner", self.system)
+        precond = inner._ell[1] if inner._ell is not None else None
         phi, relres, _ = solve_poisson(self.batch, rho_q, jnp.asarray(mask),
                                        jnp.asarray(g.astype(
-                                           self.batch.dtype)), tol=tol)
+                                           self.batch.dtype)), tol=tol,
+                                       maxiter=4000, precond=precond)
+        if not float(relres) < max(tol * 100, 1e-5):
+            raise RuntimeError(
+                f"initial Poisson solve did not converge (relres={relres:.2e})")
         u = jnp.stack([u_ion, u_el, phi.astype(u_ion.dtype)], axis=-1)
         to_dist = getattr(self.system, "to_dist", None)
         if to_dist is not None:

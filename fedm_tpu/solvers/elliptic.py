@@ -46,11 +46,16 @@ def solve_poisson(
     x0: Optional[Array] = None,
     tol: float = 1e-10,
     maxiter: int = 2000,
+    precond: Optional[callable] = None,
 ):
     """Solve ∫ c ∇u·∇v dx = ∫ f v dx with u = g on `mask` dofs.
 
     f_q, coeff_q: values at quadrature points [n_cells, n_q].
     mask, g: [n_dofs] boolean / values.
+    precond: optional r -> ~A^-1 r (e.g. a multigrid V-cycle or z-line
+    solve); default Jacobi. On anisotropic corridor meshes plain Jacobi-CG
+    can exhaust maxiter, so callers with an elliptic preconditioner should
+    pass it.
     Returns (u, relres, iters).
     """
 
@@ -74,6 +79,7 @@ def solve_poisson(
     z0 = None
     if x0 is not None:
         z0 = jnp.where(mask, 0.0, x0 - g_ext)
-    z, relres, iters = cg(op, rhs, x0=z0, precond=lambda r: r / diag,
+    M = precond if precond is not None else (lambda r: r / diag)
+    z, relres, iters = cg(op, rhs, x0=z0, precond=M,
                           tol=tol, maxiter=maxiter)
     return g_ext + jnp.where(mask, 0.0, z), relres, iters

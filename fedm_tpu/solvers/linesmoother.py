@@ -85,15 +85,18 @@ class ZLineSmoother:
         dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
                                               else dtype)
 
-        # 9 coloring probes isolate the (di, dj) stencil entries
+        # 9 coloring probes isolate the (di, dj) stencil entries; batched
+        # through ONE vmapped call so setup costs one compile per level
         I, J = np.meshgrid(np.arange(n_i), np.arange(n_j), indexing="ij")
-        resp = {}
+        probes = np.zeros((9, n_dofs))
+        keys = []
         for ai in range(3):
             for bj in range(3):
-                v = np.zeros(n_dofs)
                 sel = (I % 3 == ai) & (J % 3 == bj)
-                v[node_grid[sel]] = 1.0
-                resp[(ai, bj)] = np.asarray(A(jnp.asarray(v, dtype)))
+                probes[len(keys), node_grid[sel]] = 1.0
+                keys.append((ai, bj))
+        ys = np.asarray(jax.vmap(A)(jnp.asarray(probes, dtype)))
+        resp = {k: ys[i] for i, k in enumerate(keys)}
         diag = np.empty((n_i, n_j))
         sub = np.zeros((n_i, n_j))
         sup = np.zeros((n_i, n_j))
