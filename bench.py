@@ -1,67 +1,140 @@
 """Benchmark: DoF * BDF-steps / second / chip on the 2D streamer.
 
-The north-star metric from BASELINE.md: the reference publishes no
-wall-time numbers (`BASELINE.json` "published": {}), so `vs_baseline`
-is measured against a documented estimate of the reference's FEniCS/
-PETSc+MUMPS per-BDF-step cost on one CPU node for a comparably sized
-system (~3 Newton iterations each paying a MUMPS factorisation +
-FFC-kernel assembly on ~5e4 unknowns: ~2-4 s/step => ~2e4
-DoF*steps/s). Prints exactly one JSON line on stdout.
+North-star metric from BASELINE.md (the reference publishes no wall-time
+numbers; `BASELINE.json` "published": {}).
+
+Measurement protocol (round 2 — honest mid-run numbers):
+- restart from a committed STIFF-REGIME checkpoint of the Bagheri 14 ns
+  run (`bench_assets/bagheri_ckpt.npz`, written by `tools/bagheri_run.py`
+  at ~1 ns: ionisation front formed, ne ~ 1e19-1e20, field ~1e7 V/m —
+  the regime that dominates the production run, NOT the easy
+  near-uniform post-init steps round 1 measured);
+- measure >= 50 accepted adaptive BDF steps (full Newton-Krylov, error
+  control, PID controller);
+- report BOTH named metrics: DoF*BDF-steps/s/chip (primary) and
+  Newton-Krylov wall-time per attempted step.
+
+Baseline derivation (documented estimate, unchanged from round 1): the
+reference's per-BDF-step cost on a CPU node is ~3 Newton iterations, each
+paying a MUMPS factorise+solve plus FFC-kernel assembly of the coupled
+5e4-unknown system: ~2-4 s/step in FEniCS-2019 practice for this size,
+i.e. ~5e4 unknowns / 2.5 s ~ 2e4 DoF*steps/s. No reference-stack run is
+possible in this image (no FEniCS), so this stays an estimate and is
+labelled as such.
+
+Prints exactly one JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
-# the reference-stack estimate described above [DoF*BDF-steps/s]
-REFERENCE_ESTIMATE = 2.0e4
+REFERENCE_ESTIMATE = 2.0e4  # DoF*BDF-steps/s, see module docstring
+ROOT = Path(__file__).resolve().parent
+CKPT = ROOT / "bench_assets" / "bagheri_ckpt.npz"
 
 
-def main():
+def _stiff_bench():
+    """Preferred path: >= 50 mid-run steps from the stiff checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from fedm_tpu.io.checkpoint import load_checkpoint
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+    from fedm_tpu.solvers.newton import NewtonConfig
+
+    # the exact configuration of tools/bagheri_run.py (which wrote the
+    # checkpoint): 55k-node corridor mesh, f32 + ELL, Peclet upwinding,
+    # z-line-smoothed V-cycle on the Poisson block
+    nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
+                      linear_maxiter=400)
+    cfg = StreamerConfig(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
+                         dtype=jnp.float32, newton=nc, stab_mode="peclet",
+                         poisson_precond="mg-zline")
+    model = StreamerModel(cfg)
+    model.system.use_gather_scatter()
+    state = load_checkpoint(CKPT)
+    assert state.u.shape[0] == model.space.n_dofs, "checkpoint/mesh mismatch"
+    n_unknowns = model.space.n_dofs * model.n_eq
+    print(f"bench: Bagheri streamer restart at t={state.t:.3e} "
+          f"({state.n_accepted} steps in), {model.space.n_dofs} nodes, "
+          f"{n_unknowns} unknowns on {jax.devices()[0]}", file=sys.stderr)
+
+    driver = model.make_driver()
+    # warm-up: compile + settle the controller
+    t0 = time.perf_counter()
+    state = driver.advance(state, {})
+    print(f"bench: first step (incl. compile) "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    state = driver.advance(state, {})
+
+    n_steps = 50
+    start_acc, start_rej = state.n_accepted, state.n_rejected
+    import jax as _jax
+    _jax.block_until_ready(state.u)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = driver.advance(state, {})
+    _jax.block_until_ready(state.u)
+    elapsed = time.perf_counter() - t0
+    accepted = state.n_accepted - start_acc
+    attempts = accepted + (state.n_rejected - start_rej)
+    return {
+        "rate": n_unknowns * accepted / elapsed,
+        "newton_krylov_s_per_step": elapsed / attempts,
+        "accepted": accepted,
+        "attempts": attempts,
+        "regime": f"stiff mid-run restart at t={state.t:.3e}",
+    }
+
+
+def _fresh_bench():
+    """Fallback when the checkpoint asset is absent: short fresh-start
+    measurement (labelled as the easy regime)."""
     import jax
     import jax.numpy as jnp
 
     from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
 
-    nx, ny = 96, 192
-    # f32 fields + f64 Krylov reductions (increment formulation keeps the
-    # per-step differences fully precise; verified against the f64 path)
-    # mg_levels=0: at this size on TPU the V-cycle's many small coarse-level
-    # ops cost more than the ~60 block-Jacobi Krylov iterations they save
-    # (measured 99k vs 173k DoF*steps/s); multigrid pays off on CPU (2.9x)
-    # and on large/stiff meshes
-    cfg = StreamerConfig(nx=nx, ny=ny, dtype=jnp.float32, mg_levels=0)
+    cfg = StreamerConfig(nx=96, ny=192, dtype=jnp.float32, mg_levels=0)
     model = StreamerModel(cfg)
-    model.system.use_gather_scatter()  # ELL assembly: no TPU scatter-adds
+    model.system.use_gather_scatter()
     n_unknowns = model.space.n_dofs * model.n_eq
-    print(f"bench: streamer {nx}x{ny}, {model.space.n_dofs} nodes, "
-          f"{n_unknowns} unknowns on {jax.devices()[0]}", file=sys.stderr)
-
     driver = model.make_driver()
     state = model.initial_state()
-
-    # warm-up: compiles the jitted step
-    t0 = time.perf_counter()
     state = driver.advance(state, {})
-    print(f"bench: first step (incl. compile) {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-
-    n_steps = 5
-    start_accepted = state.n_accepted
+    n_steps = 10
+    start = state.n_accepted
     jax.block_until_ready(state.u)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = driver.advance(state, {})
     jax.block_until_ready(state.u)
     elapsed = time.perf_counter() - t0
-    accepted = state.n_accepted - start_accepted
+    accepted = state.n_accepted - start
+    return {
+        "rate": n_unknowns * accepted / elapsed,
+        "newton_krylov_s_per_step": elapsed / accepted,
+        "accepted": accepted,
+        "attempts": accepted,
+        "regime": "fresh-start (easy post-init regime; checkpoint missing)",
+    }
 
-    rate = n_unknowns * accepted / elapsed
+
+def main():
+    res = _stiff_bench() if CKPT.exists() else _fresh_bench()
+    print(f"bench: {res['accepted']} accepted / {res['attempts']} attempted "
+          f"steps; Newton-Krylov {res['newton_krylov_s_per_step']:.3f} "
+          f"s/step; regime: {res['regime']}", file=sys.stderr)
     print(json.dumps({
         "metric": "streamer_dof_bdf_steps_per_sec",
-        "value": rate,
+        "value": res["rate"],
         "unit": "DoF*steps/s/chip",
-        "vs_baseline": rate / REFERENCE_ESTIMATE,
+        "vs_baseline": res["rate"] / REFERENCE_ESTIMATE,
+        "newton_krylov_s_per_step": res["newton_krylov_s_per_step"],
+        "regime": res["regime"],
     }))
 
 

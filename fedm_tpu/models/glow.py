@@ -208,6 +208,30 @@ class GlowDischargeModel:
                 self.system.enable_elliptic_precond(self.n_eq - 1, mg=mg)
 
         self._update_aux_jit = jax.jit(self._update_aux)
+        self._dist = None
+
+    # -- multi-chip ----------------------------------------------------------
+
+    def distribute(self, device_mesh, axis: str = "space"):
+        """Swap the system for a DOF-partitioned `DistributedSystem`
+        (fedm_tpu.parallel.dd). The once-per-accepted-step coefficient
+        interpolation gathers the state back to the original numbering
+        (small vs the halo-exchanged inner loops); states and aux fields
+        then live in the distributed layout."""
+        from ..parallel.dd import DistributedSystem
+
+        self._dist = DistributedSystem(self.system, device_mesh, axis)
+        self.system = self._dist
+
+        base_update = self._update_aux
+
+        def update_dist(u_dist):
+            u = self._dist.gather_global(u_dist)
+            return self._dist.scatter_aux(base_update(u))
+
+        self._update_aux = update_dist
+        self._update_aux_jit = jax.jit(update_dist)
+        return self._dist
 
     # -- per-step coefficient update (`fedm-gd.py:429-443`) -----------------
 
@@ -414,6 +438,8 @@ class GlowDischargeModel:
         phi, _, _ = solve_poisson(self.batch, rho_q, jnp.asarray(mask),
                                   jnp.asarray(g), tol=1e-12)
         u = u.at[:, 4].set(phi)
+        if self._dist is not None:
+            u = self._dist.to_dist(u)
         # u_old1 = 0 exactly as the reference initialises (`fedm-gd.py:251`);
         # irrelevant numerically since the first step runs as BDF1
         return TimeState(u=u, u_old=u, u_old1=jnp.zeros_like(u), t=0.0,

@@ -237,6 +237,25 @@ class DistributedSystem:
     def from_dist(self, ud) -> np.ndarray:
         return np.asarray(ud)[self._slot_of]
 
+    def gather_global(self, ud: Array) -> Array:
+        """Device-side from_dist: sharded dist-layout array -> replicated
+        array in the original dof numbering (an all-gather under GSPMD).
+        For once-per-accepted-step work like the glow model's coefficient
+        interpolation, not for inner-loop use."""
+        return jnp.asarray(ud)[self._slot_of_j]
+
+    def scatter_aux(self, aux: Dict) -> Dict:
+        """Convert an aux dict of [n_dofs, ...] arrays to the distributed
+        layout (non-field entries pass through)."""
+        n = len(self._slot_of)
+
+        def conv(v):
+            if isinstance(v, jax.Array) and v.ndim >= 1 and v.shape[0] == n:
+                return self.to_dist(v)
+            return v
+
+        return {k: conv(v) for k, v in aux.items()}
+
     # -- pieces shared by residual and block assembly --------------------------
 
     @property

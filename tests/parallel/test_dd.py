@@ -127,3 +127,33 @@ def test_dd_odd_sizes_and_four_devices():
     F_dd = d.from_dist(d.residual(ud, ud, ud, {}, params))
     np.testing.assert_allclose(F_dd, F_ref, rtol=1e-10,
                                atol=1e-12 * np.abs(F_ref).max())
+
+
+def test_dd_glow_full_step_matches(tmp_path):
+    """The maximal LMEA workload (chemistry aux fields, semi-implicit
+    coefficients, facet kernels) through the distributed system."""
+    from fedm_tpu.models.argon_synth import generate_argon_input
+    from fedm_tpu.models.glow import GlowDischargeModel, GlowConfig
+
+    generate_argon_input(tmp_path)
+    cfg = GlowConfig(file_input=tmp_path, nx=10, ny=10, ttol=2e-3,
+                     mg_levels=0)
+    m_ref = GlowDischargeModel(cfg)
+    st = m_ref.initial_state()
+    aux = m_ref._update_aux_jit(st.u)
+    params = StepParams(jnp.asarray(1e-13), jnp.asarray(1e-13),
+                        jnp.asarray(1e30))
+    u1, info1 = m_ref.system.step(st.u, st.u, jnp.zeros_like(st.u),
+                                  aux, params)
+    assert bool(info1.converged)
+
+    m_dd = GlowDischargeModel(GlowConfig(file_input=tmp_path, nx=10, ny=10,
+                                         ttol=2e-3, mg_levels=0))
+    d = m_dd.distribute(_mesh(8))
+    st_d = m_dd.initial_state()
+    aux_d = m_dd._update_aux_jit(st_d.u)
+    u2, info2 = d.step(st_d.u, st_d.u, jnp.zeros_like(st_d.u),
+                       aux_d, params)
+    assert bool(info2.converged)
+    np.testing.assert_allclose(d.from_dist(u2), np.asarray(u1),
+                               rtol=1e-6, atol=1e-10)
