@@ -44,10 +44,15 @@ def _stiff_bench():
     from fedm_tpu.io.checkpoint import load_checkpoint
     from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
     from fedm_tpu.solvers.newton import NewtonConfig
+    from fedm_tpu.timestepping import AdaptiveDriver
 
     # the exact configuration of tools/bagheri_run.py (which wrote the
     # checkpoint): 55k-node corridor mesh, f32 + ELL, Peclet upwinding,
-    # z-line-smoothed V-cycle on the Poisson block
+    # z-line-smoothed V-cycle on the Poisson block, f64 fallback system
+    # for the rejection-rate-triggered precision escalation (the stiff
+    # regime contains occasional steps the f32 path cannot accept; an
+    # f32-only driver walks dt to dt_min there — measured on this very
+    # checkpoint)
     nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
                       linear_maxiter=400)
     cfg = StreamerConfig(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
@@ -55,6 +60,11 @@ def _stiff_bench():
                          poisson_precond="mg-zline")
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()
+    fallback = StreamerModel(
+        StreamerConfig(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
+                       stab_mode="peclet", poisson_precond="mg-zline"),
+        mesh=model.mesh)
+    fallback.system.use_gather_scatter()
     state = load_checkpoint(CKPT)
     assert state.u.shape[0] == model.space.n_dofs, "checkpoint/mesh mismatch"
     n_unknowns = model.space.n_dofs * model.n_eq
@@ -62,7 +72,10 @@ def _stiff_bench():
           f"({state.n_accepted} steps in), {model.space.n_dofs} nodes, "
           f"{n_unknowns} unknowns on {jax.devices()[0]}", file=sys.stderr)
 
-    driver = model.make_driver()
+    driver = AdaptiveDriver(
+        model.system, monitor_idx=1, ttol=model.cfg.ttol,
+        dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
+        fallback_system=fallback.system)
     # warm-up: compile + settle the controller
     t0 = time.perf_counter()
     state = driver.advance(state, {})

@@ -28,6 +28,26 @@ def test_tridiag_solve_exact():
         np.testing.assert_allclose(T @ x[l], d[l], atol=1e-10)
 
 
+def test_pcr_matches_thomas():
+    # parallel cyclic reduction (the TPU-native log-depth solver) must
+    # reproduce the sequential Thomas solve on diagonally dominant lines,
+    # including non-power-of-two lengths
+    from fedm_tpu.solvers.linesmoother import tridiag_solve_pcr
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 17, 64, 101):
+        n_lines = 4
+        a = rng.standard_normal((n_lines, n)) * 0.4
+        c = rng.standard_normal((n_lines, n)) * 0.4
+        b = 2.5 + np.abs(rng.standard_normal((n_lines, n)))
+        a[:, 0] = c[:, -1] = 0.0
+        d = rng.standard_normal((n_lines, n))
+        args = [jnp.asarray(v) for v in (a, b, c, d)]
+        x_pcr = np.asarray(tridiag_solve_pcr(*args))
+        x_th = np.asarray(tridiag_solve_batched(*args))
+        np.testing.assert_allclose(x_pcr, x_th, rtol=1e-10, atol=1e-10)
+
+
 def _aniso_problem(nx=24, nz=96, aspect=40.0):
     """Masked Laplacian on a structured mesh with dz << dx (corridor-like
     anisotropy): returns (A, node_grid, mask, n_dofs, batch)."""

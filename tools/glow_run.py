@@ -1,0 +1,122 @@
+"""Low-pressure argon glow discharge, end to end, on the reference's
+REAL `4_particles` chemistry (Becker et al., the tree the reference's
+glow test ships — `/root/reference/tests/integrated_tests/glow_discharge/
+file_input/4_particles/`).
+
+The reference's flagship LMEA case (`examples/glow_discharge/fedm-gd.py`:
+1 Torr argon, U = -250 V ramped, T_final = 5e-5 s) run with checkpoints
+so the march to (quasi-)steady state is resumable and its dt trajectory /
+discharge diagnostics are recorded.
+
+Usage (TPU or CPU):
+  python tools/glow_run.py --out /tmp/glow [--nx 64] [--T 5e-5]
+      [--resume] [--f32] [--checkpoint-every 200]
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_INPUT = Path("/root/reference/tests/integrated_tests/glow_discharge/"
+                 "file_input")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path, default=Path("/tmp/glow"))
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=64)
+    ap.add_argument("--T", type=float, default=5e-5)
+    ap.add_argument("--ttol", type=float, default=5e-4)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 compute with f64 escalation fallback")
+    ap.add_argument("--checkpoint-every", type=int, default=200)
+    ap.add_argument("--report-every", type=int, default=50)
+    ap.add_argument("--max-steps", type=int, default=200000)
+    ap.add_argument("--file-input", type=Path, default=REF_INPUT)
+    args = ap.parse_args()
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    import fedm_tpu  # noqa: F401  (enables x64)
+    from fedm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from fedm_tpu.models.glow import GlowDischargeModel, GlowConfig
+    from fedm_tpu.timestepping import AdaptiveDriver
+
+    common = dict(model="4_particles", file_input=args.file_input,
+                  nx=args.nx, ny=args.ny, ttol=args.ttol, T_final=args.T)
+    if args.f32:
+        model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, **common))
+        fallback = GlowDischargeModel(GlowConfig(**common))
+        fallback.system.use_gather_scatter()
+        fallback_system = fallback.system
+    else:
+        model = GlowDischargeModel(GlowConfig(**common))
+        fallback_system = None
+    model.system.use_gather_scatter()
+
+    n_dofs = model.space.n_dofs
+    print(f"devices: {jax.devices()}", flush=True)
+    print(f"mesh: {args.nx}x{args.ny}, {n_dofs} dofs "
+          f"({model.n_eq * n_dofs} unknowns), chemistry=4_particles "
+          f"({args.file_input}), dtype={'f32+escalation' if args.f32 else 'f64'}",
+          flush=True)
+
+    driver = AdaptiveDriver(
+        model.system, monitor_idx=0, ttol=args.ttol,
+        dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
+        error_log=args.out / "relative error.log",
+        fallback_system=fallback_system,
+        crash_checkpoint=args.out / "crash.npz")
+
+    ckpt = args.out / "checkpoint.npz"
+    if args.resume and ckpt.exists():
+        state = load_checkpoint(ckpt)
+        print(f"resumed from {ckpt}: t={state.t:.4e}, "
+              f"{state.n_accepted} steps", flush=True)
+    else:
+        state = model.initial_state()
+
+    def report(state, wall, n_since):
+        u = np.asarray(state.u)
+        ne = np.exp(u[:, 3])
+        eps = np.exp(u[:, 0] - u[:, 3])      # mean electron energy [eV]
+        print(f"t={state.t:.4e} dt={state.dt:.3e} steps={state.n_accepted} "
+              f"rej={state.n_rejected} esc={driver.n_escalated} "
+              f"ne_max={ne.max():.3e} eps=[{eps.min():.2f},{eps.max():.2f}] "
+              f"phi=[{u[:, 4].min():.1f},{u[:, 4].max():.1f}] "
+              f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
+
+    T = args.T
+    t_wall = time.perf_counter()
+    n_last = state.n_accepted
+    while state.t < T and state.n_accepted < args.max_steps:
+        state.dt = min(state.dt, max(T - state.t, model.cfg.dt_min))
+        aux = model._update_aux_jit(state.u)
+        state = driver.advance(state, aux)
+        if state.n_accepted % args.report_every == 0:
+            now = time.perf_counter()
+            report(state, now - t_wall, state.n_accepted - n_last)
+            t_wall, n_last = now, state.n_accepted
+        if state.n_accepted % args.checkpoint_every == 0:
+            save_checkpoint(ckpt, state)
+
+    save_checkpoint(ckpt, state)
+    report(state, time.perf_counter() - t_wall, state.n_accepted - n_last)
+    done = state.t >= T * (1 - 1e-12)
+    print(f"{'REACHED T_final' if done else 'STOPPED'} at t={state.t:.6e} "
+          f"({state.n_accepted} accepted, {state.n_rejected} rejected, "
+          f"{driver.n_escalated} escalated)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
