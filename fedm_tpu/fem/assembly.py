@@ -135,6 +135,7 @@ class CellBatch:
         import copy
 
         view = copy.copy(self)
+        view._structured = None  # shards use ELL/segment-sum scatter
         for f, a in zip(self.SHARD_FIELDS, arrays):
             setattr(view, f, a)
         return view
@@ -147,6 +148,7 @@ class CellBatch:
         extra = target - n
         if extra == 0:
             return
+        self._structured = None  # padded cell axis breaks the grid layout
         for f in self._SHARD_FIELDS:
             a = getattr(self, f)
             pad = jnp.repeat(a[:1], extra, axis=0)
@@ -186,9 +188,73 @@ class CellBatch:
         self.gather_idx = jnp.asarray(idx, jnp.int32)
         self._meta_blocks = n_blocks
 
+    # -- structured (tensor-product grid) assembly ---------------------------
+
+    _structured = None  # (nx, ny) when slice/pad gather/scatter is active
+
+    def set_structured(self, nx: int, ny: int) -> None:
+        """Switch gather/scatter to static slice / pad+add operations on the
+        [ny+1, nx+1] vertex grid of a `rectangle_mesh(..., 'right')` (P1).
+
+        This removes ALL index chasing from the hot assembly path: gather
+        becomes six contiguous slices of the grid, scatter six padded adds —
+        pure VPU work. Measured on the 55k-node Bagheri bench mesh (TPU
+        v5e) the unstructured ELL path pays ~100x over HBM speed-of-light
+        for the same data movement. Valid only for the canonical generator
+        ordering (validated here); sharded local views fall back to their
+        ELL/segment-sum paths automatically.
+        """
+        assert self.space.degree == 1, "structured assembly is P1-only"
+        n_cells = self.dofs.shape[0]
+        assert n_cells == 2 * nx * ny, "cell count mismatch"
+        # validate canonical ordering: vid = iy*(nx+1)+ix, lower block then
+        # upper block, each y-major (mesh/generators.py rectangle_mesh)
+        ix, iy = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+        vid = lambda dx, dy: ((iy + dy) * (nx + 1) + ix + dx).ravel()
+        expect = np.concatenate([
+            np.stack([vid(0, 0), vid(1, 0), vid(1, 1)], axis=1),   # ll lr ur
+            np.stack([vid(0, 0), vid(1, 1), vid(0, 1)], axis=1),   # ll ur ul
+        ])
+        assert np.array_equal(np.asarray(self.dofs), expect), (
+            "cell ordering is not the canonical rectangle_mesh('right') "
+            "layout; structured assembly unavailable")
+        self._structured = (nx, ny)
+        # (dy, dx) of each (block, local) vertex
+        self._offsets = (((0, 0), (0, 1), (1, 1)), ((0, 0), (1, 1), (1, 0)))
+
+    def try_structured(self) -> bool:
+        """Engage structured assembly if the cell layout is the canonical
+        rectangle_mesh('right') ordering, inferring (nx, ny) from it.
+        Returns True on success; False leaves the batch unchanged."""
+        if self.space.degree != 1 or self.dofs.shape[1] != 3:
+            return False
+        d0 = np.asarray(self.dofs[0])
+        nx = int(d0[2]) - 2  # cell 0 = (ll=0, lr=1, ur=nx+2)
+        n_cells = self.dofs.shape[0]
+        if nx <= 0 or n_cells % (2 * nx):
+            return False
+        ny = n_cells // (2 * nx)
+        if (nx + 1) * (ny + 1) != self.n_dofs:
+            return False
+        try:
+            self.set_structured(nx, ny)
+            return True
+        except AssertionError:
+            return False
+
     # -- evaluation (on gathered element values) ---------------------------
 
     def gather(self, u: Array) -> Array:
+        if self._structured is not None:
+            nx, ny = self._structured
+            U = u.reshape((ny + 1, nx + 1) + u.shape[1:])
+            blocks = []
+            for offs in self._offsets:
+                locs = [U[dy:dy + ny, dx:dx + nx].reshape((nx * ny,)
+                                                          + u.shape[1:])
+                        for dy, dx in offs]
+                blocks.append(jnp.stack(locs, axis=1))
+            return jnp.concatenate(blocks, axis=0)
         return u[self.dofs]
 
     def value(self, u_e: Array) -> Array:
@@ -217,9 +283,21 @@ class CellBatch:
         return jnp.einsum("cqad,cqd...->ca...", self.grads, Gs)
 
     def scatter(self, contrib: Array) -> Array:
-        """[n_cells, n_local, ...] -> global [n_dofs, ...]: ELL gather+sum
-        when metadata is built (TPU-friendly), else segment-sum."""
+        """[n_cells, n_local, ...] -> global [n_dofs, ...]: structured
+        pad+add on tensor-product grids, ELL gather+sum when metadata is
+        built (TPU-friendly), else segment-sum."""
         trailing = contrib.shape[2:]
+        if self._structured is not None:
+            nx, ny = self._structured
+            C = contrib.reshape((2, ny, nx, 3) + trailing)
+            out = None
+            pad_tail = ((0, 0),) * len(trailing)
+            for b, offs in enumerate(self._offsets):
+                for l, (dy, dx) in enumerate(offs):
+                    p = jnp.pad(C[b, :, :, l],
+                                ((dy, 1 - dy), (dx, 1 - dx)) + pad_tail)
+                    out = p if out is None else out + p
+            return out.reshape((self.n_dofs,) + trailing)
         flat = contrib.reshape((-1,) + trailing)
         if self.gather_idx is not None:
             idx = self.gather_idx
@@ -361,6 +439,7 @@ class FacetBatch:
     _SHARD_FIELDS = ("N", "grads", "scale", "normal", "x_q", "dofs")
     gather_idx = None
     _meta_blocks = 1
+    _structured = None  # facet sets are unstructured; shared scatter() guard
     SHARD_FIELDS = CellBatch.SHARD_FIELDS
     shard_arrays = CellBatch.shard_arrays
     local_view = CellBatch.local_view

@@ -120,3 +120,64 @@ def restrict(idx: Array, w: Array, r_fine: Array, n_coarse: int) -> Array:
     return jax.ops.segment_sum(
         (w * r_fine[:, None]).reshape(-1), idx.reshape(-1),
         num_segments=n_coarse)
+
+
+class StructuredTransfer:
+    """Separable prolongation/restriction between NESTED tensor-product
+    vertex grids (fine [nif, njf] with nif = 2*nic - 1), on flat dof
+    vectors in the canonical `id = j * n_i + i` layout.
+
+    Prolongation interpolates linearly per axis with weights from the
+    physical coordinates (graded meshes supported); restriction is its
+    exact transpose. For midpoints of coarse quads this separable
+    (bilinear) rule differs from the triangle-P1 `p1_transfer` by the
+    diagonal choice — immaterial for a V-cycle preconditioner — and in
+    exchange the transfer is pure slicing/padding: no gathers, no
+    segment-sums (measured ~1 ms -> ~0.1 ms per transfer on the 55k-node
+    bench mesh, removing the last unstructured ops from the cycle).
+    """
+
+    def __init__(self, xs_c, zs_c, xs_f, zs_f, dtype=None):
+        dtype = jax.dtypes.canonicalize_dtype(jnp.float64 if dtype is None
+                                              else dtype)
+        xs_c, zs_c = np.asarray(xs_c), np.asarray(zs_c)
+        xs_f, zs_f = np.asarray(xs_f), np.asarray(zs_f)
+        assert len(xs_f) == 2 * len(xs_c) - 1, "grids are not 2:1 nested"
+        assert len(zs_f) == 2 * len(zs_c) - 1, "grids are not 2:1 nested"
+        assert np.allclose(xs_f[::2], xs_c) and np.allclose(zs_f[::2], zs_c)
+        self.nic, self.njc = len(xs_c), len(zs_c)
+        self.nif, self.njf = len(xs_f), len(zs_f)
+        wx = (xs_f[1::2] - xs_c[:-1]) / (xs_c[1:] - xs_c[:-1])
+        wz = (zs_f[1::2] - zs_c[:-1]) / (zs_c[1:] - zs_c[:-1])
+        self._wx = jnp.asarray(wx, dtype)          # [nic-1]
+        self._wz = jnp.asarray(wz, dtype)          # [njc-1]
+
+    @staticmethod
+    def _prolong_axis(U: Array, w: Array) -> Array:
+        """Last axis [.., nc] -> [.., 2*nc-1]."""
+        odd = U[..., :-1] * (1.0 - w) + U[..., 1:] * w
+        body = jnp.stack([U[..., :-1], odd], axis=-1)
+        body = body.reshape(body.shape[:-2] + (-1,))
+        return jnp.concatenate([body, U[..., -1:]], axis=-1)
+
+    @staticmethod
+    def _restrict_axis(r: Array, w: Array) -> Array:
+        """Transpose of `_prolong_axis`: [.., 2*nc-1] -> [.., nc]."""
+        even = r[..., ::2]
+        odd = r[..., 1::2]
+        pad_lo = [(0, 0)] * (r.ndim - 1)
+        lo = jnp.pad((1.0 - w) * odd, pad_lo + [(0, 1)])
+        hi = jnp.pad(w * odd, pad_lo + [(1, 0)])
+        return even + lo + hi
+
+    def prolong(self, e_c: Array) -> Array:
+        E = e_c.reshape(self.njc, self.nic)            # [j, i] layout
+        E = self._prolong_axis(E, self._wx)            # along i
+        E = self._prolong_axis(E.T, self._wz).T        # along j
+        return E.reshape(-1)
+
+    def restrict(self, r_f: Array) -> Array:
+        R = r_f.reshape(self.njf, self.nif)
+        R = self._restrict_axis(R, self._wx)
+        R = self._restrict_axis(R.T, self._wz).T
+        return R.reshape(-1)

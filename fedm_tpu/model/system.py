@@ -86,10 +86,14 @@ class CoupledSystem:
         self.facet_kernels.append((batch, fn))
 
     def use_gather_scatter(self) -> None:
-        """Switch assembly to the ELL gather+sum layout (TPU-preferred;
-        see CellBatch.build_scatter_meta)."""
+        """Switch assembly to the TPU-preferred layout: structured
+        slice/pad assembly where the cell batch is a canonical
+        tensor-product grid (no index chasing at all — see
+        CellBatch.set_structured), ELL gather+sum everywhere else."""
         for batch, _ in self._batches():
-            batch.build_scatter_meta(batch._meta_blocks)
+            if not (hasattr(batch, "try_structured")
+                    and batch.try_structured()):
+                batch.build_scatter_meta(batch._meta_blocks)
         self._step_jit = None
 
     # -- elliptic (Poisson-block) preconditioning ---------------------------
@@ -379,10 +383,10 @@ class CoupledSystem:
             diag = jnp.stack(
                 [J[a, :, :, a, :] for a in range(n_local)], axis=0
             ).transpose(2, 0, 3, 1)
-            flat = diag.reshape(-1, self.n_eq, self.n_eq)
-            blocks = blocks + jax.ops.segment_sum(
-                flat, batch.dofs.reshape(-1), num_segments=self.n_dofs
-            )
+            # batch.scatter picks the fastest layout (structured pad+add /
+            # ELL gather+sum / segment-sum) for the [n_elems, nl, ne, ne]
+            # same-node blocks exactly as for residual contributions
+            blocks = blocks + batch.scatter(diag)
         return blocks
 
     _ell = None  # optional (eq, chebyshev solver, jacobi diag)

@@ -208,8 +208,16 @@ class StreamerModel:
         n_hi = max(2, int(round(np.log(max(hi_len, dz) / dz) / np.log(1.12))))
         hi = z1 + np.cumsum(np.geomspace(dz, hi_len / 3, n_hi))
         hi = hi[hi < cfg.box_height - 0.5 * dz]
-        return np.unique(np.concatenate(
+        zs = np.unique(np.concatenate(
             [[0.0], lo, fine, hi, [cfg.box_height]]))
+        # pad the cell count to a multiple of 2^(mg_levels-1) by splitting
+        # the largest intervals, so the multigrid hierarchy can coarsen by
+        # exact 2:1 slicing (nested levels -> separable transfers)
+        div = 2 ** max(cfg.mg_levels - 1, 0)
+        while (len(zs) - 1) % div:
+            i = int(np.argmax(np.diff(zs)))
+            zs = np.insert(zs, i + 1, 0.5 * (zs[i] + zs[i + 1]))
+        return zs
 
     @classmethod
     def _make_mesh(cls, cfg, nx, ny=None, z_scale: int = 1) -> Mesh:
@@ -282,14 +290,26 @@ class StreamerModel:
             from ..solvers.multigrid import GeometricMultigrid
 
             spaces, masks = [self.space], []
-            nx, ny = cfg.nx, cfg.ny
+            # coarsen by exact 2:1 slicing of the fine level's coordinate
+            # lines: levels stay NESTED (zs_c = zs_f[::2]), which lets the
+            # V-cycle use separable slice/pad transfers
+            # (fem.interpolation.StructuredTransfer) instead of
+            # gather/segment-sum ones — and the geometric quality is the
+            # same as regenerating the grading at half resolution
+            xs_f = np.unique(self.mesh.coords[:, 0])
+            zs_f = np.unique(self.mesh.coords[:, 1])
             for lv in range(1, cfg.mg_levels):
-                if nx // 2 < 4 or (cfg.z_corridor is None and ny // 2 < 4):
+                if (len(xs_f) - 1) % 2 or (len(zs_f) - 1) % 2:
                     break
-                nx //= 2
-                ny = ny // 2 if ny else ny
-                spaces.append(FunctionSpace(
-                    self._make_mesh(cfg, nx, ny, z_scale=2**lv), 1))
+                if (len(xs_f) - 1) // 2 < 4 or (len(zs_f) - 1) // 2 < 4:
+                    break
+                xs_f, zs_f = xs_f[::2], zs_f[::2]
+                m = rectangle_mesh((0, 0), (cfg.box_width, cfg.box_height),
+                                   len(xs_f) - 1, len(zs_f) - 1)
+                ux, uz = np.unique(m.coords[:, 0]), np.unique(m.coords[:, 1])
+                m.coords[:, 0] = np.interp(m.coords[:, 0], ux, xs_f)
+                m.coords[:, 1] = np.interp(m.coords[:, 1], uz, zs_f)
+                spaces.append(FunctionSpace(Mesh(m.coords, m.cells), 1))
             for sp in spaces:
                 c = sp.dof_coords
                 masks.append(np.isclose(c[:, 1], 0.0)

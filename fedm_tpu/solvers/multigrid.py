@@ -79,25 +79,85 @@ class GeometricMultigrid:
                               axisymmetric=axisymmetric, dtype=dtype)
             self.levels.append(_Level(space, batch, jnp.asarray(mask)))
 
-        # transfers between consecutive levels (fine k -> coarse k+1)
+        # smoothers per level: r -> z ~ A^-1 r (high-frequency part);
+        # `self.ops` holds the per-level matvec used inside the V-cycle —
+        # wherever a level is a canonical tensor-product grid (explicit
+        # `line_grids` or auto-detected) the unstructured gather/scatter
+        # matvec is replaced by its extracted 9-point stencil
+        # (solvers/stencil.py), measured ~25x faster on TPU
+        from .stencil import StencilOp, canonical_node_grid
+
+        self._grids = []
+        for k, lev in enumerate(self.levels):
+            if line_grids is not None and k < len(line_grids):
+                self._grids.append(np.asarray(line_grids[k]))
+            else:
+                self._grids.append(canonical_node_grid(lev.space))
+        # the coarsest level only needs its dense inverse, not an op
+        self.ops = [lev.A for lev in self.levels]
+        for k, lev in enumerate(self.levels[:-1]):
+            if self._grids[k] is not None:
+                try:
+                    self.ops[k] = StencilOp(lev.A, self._grids[k], lev.n,
+                                            dtype=dtype)
+                except AssertionError:
+                    self._grids[k] = None
+
+        # transfers between consecutive levels (fine k -> coarse k+1):
+        # separable slice/pad transfers on nested canonical grids
+        # (fem.interpolation.StructuredTransfer), generic gather/segment-sum
+        # P1 transfers otherwise
+        from ..fem.interpolation import StructuredTransfer
+
+        def _canonical(grid):
+            if grid is None:
+                return False
+            n_i, n_j = grid.shape
+            I, J = np.meshgrid(np.arange(n_i), np.arange(n_j),
+                               indexing="ij")
+            return np.array_equal(np.asarray(grid), J * n_i + I)
+
         self.transfers = []
         for k in range(len(spaces) - 1):
-            idx, w = p1_transfer(spaces[k + 1], spaces[k], dtype=dtype)
-            self.transfers.append((idx, w))
+            st = None
+            if (isinstance(self.ops[k], StencilOp)
+                    and self.ops[k]._reshape_ok
+                    and _canonical(self._grids[k + 1])):
+                try:
+                    cf, cc = spaces[k].dof_coords, spaces[k + 1].dof_coords
+                    st = StructuredTransfer(
+                        np.unique(cc[:, 0]), np.unique(cc[:, 1]),
+                        np.unique(cf[:, 0]), np.unique(cf[:, 1]),
+                        dtype=dtype)
+                except AssertionError:
+                    st = None
+            if st is not None:
+                self.transfers.append(("st", st))
+            else:
+                idx, w = p1_transfer(spaces[k + 1], spaces[k], dtype=dtype)
+                self.transfers.append(("p1", (idx, w)))
 
-        # smoothers per level: r -> z ~ A^-1 r (high-frequency part)
         self.smoothers = []
         for k, lev in enumerate(self.levels[:-1]):
             if line_grids is not None:
-                from .linesmoother import ZLineSmoother
+                from .linesmoother import tridiag_solve_pcr
 
-                line = ZLineSmoother(lev.A, line_grids[k], lev.n,
-                                     n_iter=1, dtype=dtype)
-                self.smoothers.append(
-                    lambda r, line=line: line.solve(r))
+                st = self.ops[k]
+                assert isinstance(st, StencilOp), (
+                    "line smoothing needs a structured grid per level")
+                a_l, b_l, c_l = st.line_coeffs()
+
+                def line_smooth(r, st=st, a=a_l, b=b_l, c=c_l):
+                    X = tridiag_solve_pcr(a, b, c,
+                                          st.to_grid(r).astype(b.dtype))
+                    return st.to_flat(X).astype(r.dtype)
+
+                self.smoothers.append(line_smooth)
             else:
-                lmax = power_iteration_lmax(lev.At, lev.n, iters=power_iters)
-                cheb = chebyshev_solver(lev.At, lmax / smooth_ratio,
+                A_fast = self.ops[k]
+                At = (lambda x, A=A_fast, lev=lev: A(x) / lev.dtilde)
+                lmax = power_iteration_lmax(At, lev.n, iters=power_iters)
+                cheb = chebyshev_solver(At, lmax / smooth_ratio,
                                         1.05 * lmax, smooth_degree)
                 self.smoothers.append(
                     lambda r, cheb=cheb, lev=lev: cheb(r / lev.dtilde))
@@ -116,18 +176,24 @@ class GeometricMultigrid:
         if k == len(self.levels) - 1:
             return self._coarse_inv @ r
         lev = self.levels[k]
+        A = self.ops[k]
         smooth = self.smoothers[k]
         # pre-smooth
         z = smooth(r)
         # coarse-grid correction of the residual
-        res = r - lev.A(z)
-        idx, w = self.transfers[k]
-        r_c = restrict(idx, w, res, self.levels[k + 1].n)
+        res = r - A(z)
+        kind, tr = self.transfers[k]
+        if kind == "st":
+            r_c = tr.restrict(res)
+        else:
+            idx, w = tr
+            r_c = restrict(idx, w, res, self.levels[k + 1].n)
         r_c = jnp.where(self.levels[k + 1].mask, 0.0, r_c)
         e_c = self._vcycle(k + 1, r_c)
-        z = z + jnp.where(lev.mask, 0.0, prolong(idx, w, e_c))
+        e_f = tr.prolong(e_c) if kind == "st" else prolong(tr[0], tr[1], e_c)
+        z = z + jnp.where(lev.mask, 0.0, e_f)
         # post-smooth
-        z = z + smooth(r - lev.A(z))
+        z = z + smooth(r - A(z))
         return z
 
     def precond(self, r: Array) -> Array:
