@@ -28,13 +28,37 @@ Array = jax.Array
 
 def _dot(a: Array, b: Array) -> Array:
     # accumulate inner products in f64 even for f32 fields (mixed-precision
-    # design: f32 compute, f64 reductions — SURVEY.md 'hard parts')
+    # design: f32 compute, f64 reductions — SURVEY.md 'hard parts').
+    #
+    # RANGE-SCALED (LAPACK dnrm2-style): on TPU, XLA emulates f64 as a
+    # float32 pair, so its precision is ~2^-48 but its RANGE is still
+    # float32's (~1e38). The raw log-form residuals legitimately reach
+    # ~1e19-1e30 per entry; squaring them inside an unscaled reduction
+    # overflows the emulation and returns NaN — measured as the hard
+    # res0=NaN wall at ||F|| ~ 1.8e19 (= sqrt(f32 max)) that killed the
+    # Bagheri bench at t = 1.045 ns. Normalising by the max magnitudes
+    # keeps every intermediate O(n) regardless of field scale.
     acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
-    return jnp.vdot(a.reshape(-1).astype(acc), b.reshape(-1).astype(acc))
+    af = a.reshape(-1).astype(acc)
+    bf = b.reshape(-1).astype(acc)
+    sa = jnp.max(jnp.abs(af))
+    sb = jnp.max(jnp.abs(bf))
+    sa = jnp.where((sa > 0) & jnp.isfinite(sa), sa, 1.0)
+    sb = jnp.where((sb > 0) & jnp.isfinite(sb), sb, 1.0)
+    # ordering: never form sa*sb (can overflow the range even when the
+    # result is representable)
+    return sa * (jnp.vdot(af / sa, bf / sb) * sb)
 
 
 def _norm(a: Array) -> Array:
-    return jnp.sqrt(_dot(a, a))
+    # NOT sqrt(_dot(a, a)): the intermediate sum-of-squares (~||a||^2) can
+    # exceed the f32-pair range even when ||a|| itself is representable.
+    acc = jnp.float64 if jax.config.jax_enable_x64 else a.dtype
+    af = a.reshape(-1).astype(acc)
+    sa = jnp.max(jnp.abs(af))
+    sa = jnp.where((sa > 0) & jnp.isfinite(sa), sa, 1.0)
+    an = af / sa
+    return sa * jnp.sqrt(jnp.vdot(an, an))
 
 
 def _acc_dtype(b: Array):

@@ -24,8 +24,15 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
     k = A.shape[-1]
     if reg:
         A = A + reg * jnp.eye(k, dtype=A.dtype)
+    # per-block magnitude normalisation: cofactors/determinants form
+    # products of 2-3 entries, and block entries of the stiff log-form
+    # system reach ~1e13+ — products overflow TPU's range-limited f64
+    # emulation (see solvers.linear._dot). inv(A) = inv(A/s)/s is exact.
+    s = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+    s = jnp.where((s > 0) & jnp.isfinite(s), s, 1.0)
+    A = A / s
     if k == 1:
-        return 1.0 / A
+        return (1.0 / A) / s
     if k == 2:
         a, b = A[:, 0, 0], A[:, 0, 1]
         c, d = A[:, 1, 0], A[:, 1, 1]
@@ -33,7 +40,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
         inv = jnp.stack(
             [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
         )
-        return inv / det[:, None, None]
+        return inv / det[:, None, None] / s
     if k == 3:
         a = A
         c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
@@ -54,7 +61,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
             ],
             -2,
         )
-        return adj / det[:, None, None]
+        return adj / det[:, None, None] / s
 
     # general small k: Gauss-Jordan with partial pivoting, unrolled over k
     n = A.shape[0]
@@ -70,7 +77,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
         M = M.at[:, col].set(pivot_row / pivot_row[:, col : col + 1])
         factors = M[:, :, col].at[:, col].set(0.0)  # [n, k]
         M = M - factors[:, :, None] * M[:, col][:, None, :]
-    return M[:, :, k:]
+    return M[:, :, k:] / s
 
 
 def block_apply(inv_blocks: Array, r: Array) -> Array:

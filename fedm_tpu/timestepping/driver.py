@@ -164,6 +164,12 @@ class AdaptiveDriver:
                     print(f"Escalating precision for t = {t_try} "
                           f"(rejection-rate trigger)", flush=True)
             u_new, info = solve_sys.step(u_old, u_old, u_old1, aux, params)
+            if self.verbose:
+                print(f"  newton: converged={bool(info.converged)} "
+                      f"iters={int(info.iters)} "
+                      f"res {float(info.res0_norm):.3e} -> "
+                      f"{float(info.res_norm):.3e} "
+                      f"linres={float(info.lin_relres):.2e}", flush=True)
             if (not bool(info.converged) and not escalated
                     and self.fallback_system is not None):
                 if self.verbose:
@@ -171,12 +177,21 @@ class AdaptiveDriver:
                 u_new, info = self.fallback_system.step(
                     u_old, u_old, u_old1, aux, params)
                 self.n_escalated += 1
+                if self.verbose:
+                    print(f"  newton(f64): converged={bool(info.converged)} "
+                          f"iters={int(info.iters)} "
+                          f"res {float(info.res0_norm):.3e} -> "
+                          f"{float(info.res_norm):.3e} "
+                          f"linres={float(info.lin_relres):.2e}", flush=True)
             if bool(info.converged):
                 err = float(
                     step_error_norm(
                         u_new[:, self.monitor_idx], u_old[:, self.monitor_idx]
                     )
                 )
+                if self.verbose:
+                    print(f"  step error = {err:.3e} (ttol {self.ttol:g})",
+                          flush=True)
                 self._log_error(err, dt_old, dt)
                 if err < self.ttol:
                     # accepted: controller proposes the next dt

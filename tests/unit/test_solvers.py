@@ -171,3 +171,44 @@ def test_newton_gmres_solver_option():
     assert bool(info.converged)
     np.testing.assert_allclose(np.asarray(u), np.sqrt(np.asarray(a)),
                                rtol=1e-8)
+
+
+def test_dot_and_norm_are_range_scaled():
+    """TPU emulates f64 as a float32 pair: same precision, f32 RANGE.
+    _dot/_norm must therefore never square raw magnitudes (the log-form
+    residuals legitimately reach 1e19-1e30 per entry). The scaled forms
+    must agree with numpy's true-f64 result for huge and tiny fields."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fedm_tpu.solvers.linear import _dot, _norm
+
+    rng = np.random.default_rng(0)
+    for scale in (1e30, 1e19, 1.0, 1e-30, 0.0):
+        a = (rng.standard_normal(512) * scale).astype(np.float32)
+        b = (rng.standard_normal(512) * scale).astype(np.float32)
+        np.testing.assert_allclose(float(_dot(jnp.asarray(a), jnp.asarray(b))),
+                                   np.vdot(a.astype(np.float64),
+                                           b.astype(np.float64)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(_norm(jnp.asarray(a))),
+                                   np.linalg.norm(a.astype(np.float64)),
+                                   rtol=1e-6)
+
+
+def test_invert_blocks_is_scale_invariant():
+    """Determinants/cofactors must not overflow for ~1e13-scale stiff
+    blocks (products of 3 entries exceed the TPU f64-emulation range)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fedm_tpu.solvers.precond import invert_blocks
+
+    rng = np.random.default_rng(1)
+    for k in (1, 2, 3, 5):
+        base = rng.standard_normal((7, k, k)) + 3.0 * np.eye(k)
+        for scale in (1e13, 1.0, 1e-13):
+            A = jnp.asarray(base * scale)
+            inv = np.asarray(invert_blocks(A))
+            for i in range(7):
+                np.testing.assert_allclose(
+                    inv[i] @ (base[i] * scale), np.eye(k),
+                    rtol=1e-8, atol=1e-8)
