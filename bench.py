@@ -76,11 +76,22 @@ def _stiff_bench():
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
         fallback_system=fallback.system)
-    # warm-up: compile + settle the controller
+    # warm-up: compile BOTH systems (escalated f64 attempts inside the
+    # measurement window would otherwise charge a one-off ~3-minute
+    # remote-compile to the steady-state number) + settle the controller
     t0 = time.perf_counter()
     state = driver.advance(state, {})
     print(f"bench: first step (incl. compile) "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    from fedm_tpu.model.system import StepParams
+    import jax.numpy as jnp
+    wp = StepParams(jnp.asarray(state.t + state.dt), jnp.asarray(state.dt),
+                    jnp.asarray(state.dt_old))
+    t0 = time.perf_counter()
+    u_warm, _ = fallback.system.step(state.u, state.u, state.u_old, {}, wp)
+    jax.block_until_ready(u_warm)
+    print(f"bench: f64 fallback compile+step {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     state = driver.advance(state, {})
 
     n_steps = 50
