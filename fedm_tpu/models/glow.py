@@ -96,7 +96,12 @@ class GlowConfig:
     def __post_init__(self):
         if self.newton is None:
             if self.dtype == jnp.float32:
-                self.newton = NewtonConfig(rtol=1e-3, max_iter=20,
+                # rtol 5e-3: 1e-3 sits below the f32 assembly noise floor
+                # once dt grows past ~5e-11 on the 4_particles chemistry
+                # (measured on TPU: 38 precision escalations per 100 steps
+                # vs 0 at 5e-3); the adaptive ttol error control still
+                # guards the physical accuracy of every accepted step
+                self.newton = NewtonConfig(rtol=5e-3, max_iter=20,
                                            linear_tol=1e-4,
                                            linear_maxiter=600)
             else:

@@ -55,7 +55,17 @@ def main():
     common = dict(model="4_particles", file_input=args.file_input,
                   nx=args.nx, ny=args.ny, ttol=args.ttol, T_final=args.T)
     if args.f32:
-        model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, **common))
+        # f32 Newton rtol: the default 1e-3 sits below the f32 assembly
+        # noise floor once dt grows past ~5e-11 on this chemistry —
+        # measured 38 escalations/100 steps (10s/step in emulated f64).
+        # 5e-3 converges within the floor; the adaptive ttol error
+        # control still guards the physical accuracy of every step.
+        from fedm_tpu.solvers.newton import NewtonConfig
+
+        nc = NewtonConfig(rtol=5e-3, max_iter=20, linear_tol=1e-4,
+                          linear_maxiter=600)
+        model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, newton=nc,
+                                              **common))
         fallback = GlowDischargeModel(GlowConfig(**common))
         fallback.system.use_gather_scatter()
         fallback_system = fallback.system
