@@ -391,11 +391,18 @@ class CoupledSystem:
 
     _ell = None  # optional (eq, chebyshev solver, jacobi diag)
 
-    def block_precond_builder(self, u_old, d_hist, aux, params):
+    def block_precond_builder(self, u_old, d_hist, aux, params,
+                              row_weights=None):
+        """`row_weights` (optional [n_dofs, n_eq]): when the residual is
+        row-equilibrated (see `_step`), the preconditioner must invert the
+        SCALED blocks w*B, and the elliptic solve — which approximates the
+        raw Poisson-block operator — sees the unscaled residual r/w."""
         from ..solvers.precond import block_apply, invert_blocks
 
         def build(delta):
             blocks = self._jacobian_blocks(delta, u_old, d_hist, aux, params)
+            if row_weights is not None:
+                blocks = row_weights[:, :, None] * blocks
             inv = invert_blocks(blocks)
             if self._ell is None:
                 return lambda r: block_apply(inv, r)
@@ -403,7 +410,10 @@ class CoupledSystem:
 
             def M(r):
                 y = block_apply(inv, r)
-                return y.at[:, eq].set(ell_solve(r[:, eq]))
+                r_eq = r[:, eq]
+                if row_weights is not None:
+                    r_eq = r_eq / row_weights[:, eq]
+                return y.at[:, eq].set(ell_solve(r_eq))
 
             return M
 
@@ -411,17 +421,62 @@ class CoupledSystem:
 
     # -- one attempted BDF step ---------------------------------------------
 
+    # Row equilibration (EXPERIMENTAL, opt-in): the log-form residual rows
+    # scale like vol * exp(u) / dt — 1e19..1e30 and growing with the
+    # density. On TPU (f32 compute + f32-pair "f64" reductions, both
+    # range-limited to ~1e38) the raw scale leaves little headroom: Krylov
+    # breakdowns surface as linres=NaN exactly where the physics stiffens
+    # (measured: the Bagheri run walls at t = 1.13 ns in BOTH precisions).
+    # Scaling each residual row by the inverse inf-norm of its exact
+    # node-block Jacobian row makes the Newton system O(1) for any density
+    # scale — the TPU-native answer to the dynamic range MUMPS absorbs
+    # with 11-bit-exponent arithmetic in the reference stack. NOT yet the
+    # default: in the equilibrated system the achievable f32 residual
+    # reduction is set by cancellation noise of rows whose off-diagonal
+    # couplings dwarf their node-block row norm (measured stall at ~6e-2
+    # relative on the streamer's first step), so the convergence criterion
+    # needs a noise-floor-aware target before this can replace the
+    # range-scaled-norm approach (solvers.linear._dot) as the production
+    # path.
+    row_scaled: bool = False
+
+    def _row_weights(self, delta0, u_old_c, d_hist, aux_c, params_c):
+        B0 = self._jacobian_blocks(delta0, u_old_c, d_hist, aux_c, params_c)
+        rownorm = jnp.max(jnp.abs(B0), axis=2)  # [n_dofs, n_eq]
+        w = jnp.where((rownorm > 0) & jnp.isfinite(rownorm),
+                      1.0 / rownorm, 1.0)
+        # Dirichlet rows are identity rows in the residual — keep them
+        return jnp.where(self.bcs.mask, 1.0, w).astype(B0.dtype)
+
     def _step(self, u_guess, u_old, u_old1, aux, params: StepParams):
         (delta0, u_old_c, d_hist, aux_c, params_c,
          bc_shift) = self._cast_inputs(u_guess, u_old, u_old1, aux, params)
-        R = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
-                                        bc_shift)
+        R_raw = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
+                                            bc_shift)
+        newton = self.newton
+        if self.row_scaled:
+            w = self._row_weights(delta0, u_old_c, d_hist, aux_c, params_c)
+            R = lambda d: w * R_raw(d)
+            if delta0.dtype == jnp.float32:
+                # in the equilibrated system ||R|| IS the relative
+                # increment error, and its f32 assembly noise floor sits
+                # at ~eps_f32 * |u| / |delta| ~ 1e-2 of res0 — a tighter
+                # rtol is unattainable and only triggers spurious
+                # failures/escalations; the adaptive ttol error control
+                # still bounds the accepted-step accuracy
+                from dataclasses import replace
+
+                newton = replace(newton, rtol=max(newton.rtol, 2e-2))
+        else:
+            w = None
+            R = R_raw
         pb = (
-            self.block_precond_builder(u_old_c, d_hist, aux_c, params_c)
+            self.block_precond_builder(u_old_c, d_hist, aux_c, params_c,
+                                       row_weights=w)
             if self.use_block_precond
             else None
         )
-        delta, info = newton_krylov(R, delta0, self.newton, pb)
+        delta, info = newton_krylov(R, delta0, newton, pb)
         return u_old + delta.astype(u_old.dtype), info
 
     def step(self, u_guess, u_old, u_old1, aux, params: StepParams):
