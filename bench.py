@@ -55,15 +55,16 @@ def _stiff_bench():
     # checkpoint)
     nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
                       linear_maxiter=400)
-    cfg = StreamerConfig(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
-                         dtype=jnp.float32, newton=nc, stab_mode="peclet",
-                         poisson_precond="mg-zline")
+    # round-4 production additions (the t=1.13 ns wall fixes,
+    # docs/STREAMER_STUDY.md): true-l1 row equilibration + far-field
+    # density floor at the physical background
+    common = dict(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
+                  stab_mode="peclet", poisson_precond="mg-zline",
+                  row_scaled=True, density_floor=1e13)
+    cfg = StreamerConfig(dtype=jnp.float32, newton=nc, **common)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()
-    fallback = StreamerModel(
-        StreamerConfig(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
-                       stab_mode="peclet", poisson_precond="mg-zline"),
-        mesh=model.mesh)
+    fallback = StreamerModel(StreamerConfig(**common), mesh=model.mesh)
     fallback.system.use_gather_scatter()
     state = load_checkpoint(CKPT)
     assert state.u.shape[0] == model.space.n_dofs, "checkpoint/mesh mismatch"
@@ -75,7 +76,8 @@ def _stiff_bench():
     driver = AdaptiveDriver(
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
-        fallback_system=fallback.system)
+        fallback_system=fallback.system,
+        post_accept=model.floor_projection())
     # warm-up: compile BOTH systems (escalated f64 attempts inside the
     # measurement window would otherwise charge a one-off ~3-minute
     # remote-compile to the steady-state number) + settle the controller

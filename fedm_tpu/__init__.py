@@ -37,6 +37,25 @@ if not os.environ.get("FEDM_TPU_NO_X64"):
 # dims and never exploit the MXU anyway).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the jitted Newton-Krylov step on the
+# production meshes costs minutes of compile per (mesh, dtype) — on TPU the
+# f64-emulation fallback alone measured 619 s. Caching amortises it across
+# process restarts (bench restarts, resumed runs, escalation systems).
+# FEDM_TPU_NO_COMPILE_CACHE=1 opts out; FEDM_TPU_COMPILE_CACHE overrides the
+# location.
+if not os.environ.get("FEDM_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "FEDM_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "fedm_tpu",
+                     "xla_cache"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except (OSError, AttributeError):  # read-only FS / older jax: best effort
+        pass
+
 from . import constants  # noqa: E402
 
 __version__ = "0.1.0"

@@ -146,9 +146,12 @@ class CellBatch:
         n = self.scale.shape[0]
         target = -(-n // multiple) * multiple
         extra = target - n
+        # the cell axis is about to be treated as shardable blocks either
+        # way: the global grid layout no longer describes it, even when no
+        # padding is needed (sharded local views must not inherit it)
+        self._structured = None
         if extra == 0:
             return
-        self._structured = None  # padded cell axis breaks the grid layout
         for f in self._SHARD_FIELDS:
             a = getattr(self, f)
             pad = jnp.repeat(a[:1], extra, axis=0)

@@ -1,3 +1,5 @@
 from .tof import TimeOfFlight1D, TimeOfFlight2D
+from .generic import PlasmaConfig, PlasmaModel
 
-__all__ = ["TimeOfFlight1D", "TimeOfFlight2D"]
+__all__ = ["TimeOfFlight1D", "TimeOfFlight2D", "PlasmaConfig",
+           "PlasmaModel"]

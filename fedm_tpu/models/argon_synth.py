@@ -184,3 +184,116 @@ def generate_argon_input(base: Path, model: str = "argon_synth") -> Path:
     _write_lut(tc / "electrons_ND.dat", "electron diffusion",
                "Umean [eV]  N*D [1/(m s)]", "Umean", eps, n_d_electron(eps))
     return root
+
+
+# -- extended He/air-style scheme (8 species) ---------------------------------
+
+SPECLIST_8 = """\
+# species list (extended synthetic argon model, 8 species)
+Ar[1p0]     file: Ar_1p0.cfg
+Ar[*]       file: Ar_star.cfg
+Ar[**]      file: Ar_sstar.cfg
+Ar2[*]      file: Ar2_star.cfg
+Ar[r]       file: Ar_res.cfg
+Ar[+]       file: Ar_plus.cfg
+Ar2[+]      file: Ar2_plus.cfg
+e           file: electrons.cfg
+
+nInd = [0, 1, 2, 3, 4]
+iInd = [5, 6]
+eInd = 7
+"""
+
+REACSCHEME_8 = """\
+# extended argon model: 4 excited levels, atomic + molecular ions
+Ar[1p0] + e    -> Ar[*] + e               Type: ex    Uin: 11.55   Qfile: Q1.dat  kfile: k_001.dat
+Ar[1p0] + e    -> Ar[**] + e              Type: ex    Uin: 13.10   Qfile: Q1.dat  kfile: k_002.dat
+Ar[1p0] + e    -> Ar[r] + e               Type: ex    Uin: 11.72   Qfile: Q1.dat  kfile: k_003.dat
+Ar[1p0] + e    -> Ar[+] + e + e           Type: io    Uin: 15.76   Qfile: Q2.dat  kfile: k_004.dat
+Ar[*] + e      -> Ar[1p0] + e             Type: deex  Uin: -11.55  Qfile: Q3.dat  kfile: k_005.dat
+Ar[*] + e      -> Ar[**] + e              Type: ex    Uin: 1.55    Qfile: Q3.dat  kfile: k_006.dat
+Ar[*] + e      -> Ar[+] + e + e           Type: io    Uin: 4.21    Qfile: Q4.dat  kfile: k_007.dat
+Ar[**] + e     -> Ar[+] + e + e           Type: io    Uin: 2.66    Qfile: Q4.dat  kfile: k_008.dat
+Ar[*] + Ar[*]  -> Ar[+] + e + Ar[1p0]     Type: chio  Uin: -7.34   Qfile: Q5.dat  kfile: k_009.dat
+Ar[*] + Ar[1p0] + Ar[1p0] -> Ar2[*] + Ar[1p0]  Type: conv  Uin: 0  Qfile: Q6.dat  kfile: k_010.dat
+Ar[+] + Ar[1p0] + Ar[1p0] -> Ar2[+] + Ar[1p0]  Type: conv  Uin: 0  Qfile: Q6.dat  kfile: k_011.dat
+Ar2[+] + e     -> Ar[**] + Ar[1p0]        Type: rec   Uin: -2.66   Qfile: Q7.dat  kfile: k_012.dat
+Ar2[*] + e     -> Ar2[+] + e + e          Type: io    Uin: 3.66    Qfile: Q4.dat  kfile: k_013.dat
+Ar[**]         -> 0                       Type: loss  Uin: 0       Qfile: Q8.dat  kfile: k_lifetime.dat
+Ar[r]          -> 0                       Type: loss  Uin: 0       Qfile: Q8.dat  kfile: k_lifetime.dat
+Ar2[*]         -> 0                       Type: loss  Uin: 0       Qfile: Q8.dat  kfile: k_lifetime.dat
+
+# electron energy loss by elastic collisions (Uin = 1: loss = Pelastic*N*ne)
+Ar[1p0] + e -> Ar[1p0] + e            Type: el    Uin: 1.0     Qfile: Q1.dat  kfile: Pelastic.dat
+"""
+
+SPECIES_8 = {
+    "Ar_1p0.cfg": ("0", 6.633521e-26, 3),
+    "Ar_star.cfg": ("0", 6.633521e-26, 2),
+    "Ar_sstar.cfg": ("0", 6.633521e-26, 2),
+    "Ar2_star.cfg": ("0", 1.3267042e-25, 2),
+    "Ar_res.cfg": ("0", 6.633521e-26, 2),
+    "Ar_plus.cfg": ("1", 6.63352032e-26, 2),
+    "Ar2_plus.cfg": ("1", 1.3267041e-25, 2),
+    "electrons.cfg": ("-1", 9.10938356e-31, 3),
+}
+
+
+def generate_argon8_input(base: Path, model: str = "argon_synth8") -> Path:
+    """Write an extended 8-species input tree under `base/<model>/` — the
+    'tens of species'-shaped configuration class of BASELINE.json, scaled
+    to a test: 4 excited levels (diffusion-reaction), atomic + molecular
+    ions (drift-diffusion 'Ion'), electrons, 17 reactions. Exercises the
+    generic model builder (`models.generic.PlasmaModel`) on a speclist the
+    4-species glow layout cannot represent."""
+    base = Path(base)
+    root = base / model
+    (root / "rate_coefficients").mkdir(parents=True, exist_ok=True)
+    (root / "transport_coefficients").mkdir(exist_ok=True)
+    (root / "species").mkdir(exist_ok=True)
+
+    (root / "speclist.cfg").write_text(SPECLIST_8)
+    (root / "reacscheme.cfg").write_text(REACSCHEME_8)
+    for name, (z, mass, nmom) in SPECIES_8.items():
+        (root / "species" / name).write_text(
+            f"Z    = {z}\nMass = {mass}\nNmom = {nmom}\n")
+
+    eps = np.geomspace(0.01, 100.0, 200)
+    rc = root / "rate_coefficients"
+    luts = {
+        "k_001.dat": k_excitation(eps),
+        "k_002.dat": 0.4 * k_excitation(eps) * np.exp(-1.55 / np.maximum(eps, 1e-3)),
+        "k_003.dat": 0.7 * k_excitation(eps),
+        "k_004.dat": k_ionization(eps),
+        "k_005.dat": k_deexcitation(eps),
+        "k_006.dat": 1.2e-13 * eps**0.5 * np.exp(-1.55 / np.maximum(eps, 1e-3)),
+        "k_007.dat": k_stepwise_ionization(eps),
+        "k_008.dat": 1.8 * k_stepwise_ionization(eps),
+        "k_013.dat": 1.4 * k_stepwise_ionization(eps),
+        "k_012.dat": 8.5e-13 * np.maximum(eps, 1e-3) ** -0.67,
+        "Pelastic.dat": p_elastic(eps),
+    }
+    for name, ky in luts.items():
+        _write_lut(rc / name, name, "Umean [eV]  k", "Umean", eps, ky)
+    _write_const(rc / "k_009.dat", "chemoionisation", "const", K_CHEMO)
+    _write_const(rc / "k_010.dat", "excimer formation", "const", 1.1e-43)
+    _write_const(rc / "k_011.dat", "ion conversion", "const", 2.5e-43)
+    _write_const(rc / "k_lifetime.dat", "radiative loss", "const", K_LIFETIME)
+
+    tc = root / "transport_coefficients"
+    red = np.geomspace(0.1, 2000.0, 120)
+    _write_const(tc / "Ar_1p0_ND.dat", "background", "const", 0.0)
+    for sp, nd in (("Ar_star", N_D_ARSTAR), ("Ar_sstar", 0.8 * N_D_ARSTAR),
+                   ("Ar2_star", 0.5 * N_D_ARSTAR), ("Ar_res", N_D_ARSTAR)):
+        _write_const(tc / f"{sp}_ND.dat", "metastable diffusion", "const", nd)
+    for sp, scale in (("Ar_plus", 1.0), ("Ar2_plus", 1.15)):
+        _write_lut(tc / f"{sp}_Nb.dat", "ion mobility", "E/N [Td]  N*b",
+                   "E/N", red, scale * n_mu_ion(red))
+        with open(tc / f"{sp}_ND.dat", "w") as f:
+            f.write(_HEADER.format(desc="ion diffusion (Einstein relation)",
+                                   data="ESR", dep="ESR"))
+    _write_lut(tc / "electrons_Nb.dat", "electron mobility",
+               "Umean [eV]  N*b", "Umean", eps, n_mu_electron(eps))
+    _write_lut(tc / "electrons_ND.dat", "electron diffusion",
+               "Umean [eV]  N*D", "Umean", eps, n_d_electron(eps))
+    return root

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
+from typing import Callable, Optional
 
 import numpy as np
 import jax
@@ -113,6 +113,21 @@ class StreamerConfig:
     # resolve it), geometric coarsening outside. ny is then derived.
     z_corridor: Optional[tuple] = None
     newton: NewtonConfig = None
+    # Row-equilibrated Newton system (CoupledSystem.row_scaled, true
+    # assembled l1 row norms): the production setting for deep TPU runs —
+    # raw log-form residual rows reach 1e24+ at a developed front and
+    # overflow range-limited Krylov inner products (the t = 1.13 ns wall,
+    # docs/STREAMER_STUDY.md); the equilibrated system stays O(1) at any
+    # density scale.
+    row_scaled: bool = False
+    # Far-field density floor [m^-3]: after each ACCEPTED step, clamp the
+    # electron log-density at ln(floor). The reference initialises the far
+    # field at background 1e13 (`fedm-streamer.py:169-172`) and its f64
+    # range lets the depleted cathode-side tail decay 15+ e-folds below it
+    # with no physical consequence; on TPU that tail only doubles the
+    # state's dynamic range. None disables; set to cfg.background for the
+    # production run.
+    density_floor: Optional[float] = None
 
     def __post_init__(self):
         if self.newton is None:
@@ -270,6 +285,7 @@ class StreamerModel:
         bcs = BCSet(self.space, self.n_eq, self._phi_bcs)
 
         self.system = CoupledSystem(self.batch, self.n_eq, bcs, cfg.newton)
+        self.system.row_scaled = cfg.row_scaled
         self.system.set_cell_kernel(self._cell_kernel)
         # Neumann electron outflow on the electrodes (markers 1 and 2,
         # `fedm-streamer.py:103-104`); axis and outer wall are zero-flux.
@@ -464,12 +480,29 @@ class StreamerModel:
 
     # -- run ----------------------------------------------------------------
 
+    def floor_projection(self) -> Optional[Callable]:
+        """Accepted-state projection for `AdaptiveDriver(post_accept=...)`:
+        clamps the electron log-density at ln(density_floor). Jitted once;
+        the clamp runs on whatever layout the state has (replicated or
+        distributed — it is elementwise)."""
+        if self.cfg.density_floor is None:
+            return None
+        u_floor = float(np.log(self.cfg.density_floor))
+        e_idx = self.n_eq - 2
+
+        @jax.jit
+        def clamp(u):
+            return u.at[:, e_idx].set(jnp.maximum(u[:, e_idx], u_floor))
+
+        return clamp
+
     def make_driver(self, error_log: Optional[Path] = None,
-                    verbose: bool = False) -> AdaptiveDriver:
+                    verbose: bool = False, **kw) -> AdaptiveDriver:
         return AdaptiveDriver(
             self.system, monitor_idx=self.n_eq - 2, ttol=self.cfg.ttol,
             dt_min=self.cfg.dt_min, dt_max=self.cfg.dt_max,
-            error_log=error_log, verbose=verbose)
+            error_log=error_log, verbose=verbose,
+            post_accept=self.floor_projection(), **kw)
 
     def run(self, T_final: Optional[float] = None,
             error_log: Optional[Path] = None, verbose: bool = False,

@@ -421,6 +421,81 @@ class DistributedSystem:
     def residual(self, u, u_old, u_old1, aux, params):
         return self.make_residual_fn(u_old, u_old1, aux, params)(u)
 
+    # -- distributed elliptic (Poisson-block) preconditioner ---------------------
+
+    def _dist_stiffness_op(self, eq: int):
+        """The masked Laplacian of component `eq` as a linear operator on
+        dist-layout [n_dofs_dist] vectors: halo-exchanged local stiffness
+        matvecs, identity on Dirichlet/phantom rows. No O(n_dofs)
+        replicated arrays — the distributed counterpart of
+        `CoupledSystem.masked_stiffness_op`."""
+        mask = self.mask_dist[:, eq]
+        n_shift = len(self._shift_arrays)
+        ax = self.axis
+
+        def body(x_b, *rest):
+            shift_arrs = rest[:n_shift]
+            batch_arrs = rest[n_shift:]
+            x_ext = self._halo_fill(x_b, shift_arrs)
+            # cell batch only: facet kernels do not contribute to the
+            # Laplacian
+            local, _ = self._local_batches(batch_arrs)[0]
+            out = jnp.zeros((self.n_ext,), x_b.dtype)
+            out = out + local.scatter(
+                local.stiffness(local.grad(local.gather(x_ext))))
+            return self._halo_reduce(out, shift_arrs)
+
+        in_specs = (P(ax), *([P(ax)] * n_shift),
+                    *([P(ax)] * len(self._batch_arrays)))
+        fn = shard_map(body, mesh=self.device_mesh, in_specs=in_specs,
+                       out_specs=P(ax))
+
+        def A(x):
+            x_in = jnp.where(mask, 0.0, x).astype(self.dtype)
+            Ax = fn(x_in, *self._shift_arrays, *self._batch_arrays)
+            return jnp.where(mask, x, Ax)
+
+        return A
+
+    def enable_distributed_elliptic(self, eq: int, degree: int = 12,
+                                    ratio: float = 30.0,
+                                    power_iters: int = 40) -> None:
+        """Augment the node-block preconditioner with a DISTRIBUTED
+        Chebyshev solve of the `eq` component's Laplacian — replaces the
+        replicated all-gathered V-cycle fallback (`block_precond_builder`)
+        so the dd step holds no O(n_dofs) replicated arrays. The Chebyshev
+        polynomial is a fixed linear operator (BiCGStab-safe) built on the
+        Jacobi-scaled halo-exchanged matvec; dot products in the power
+        iteration reduce over the sharded layout via GSPMD."""
+        from ..solvers.chebyshev import chebyshev_solver, power_iteration_lmax
+
+        # Jacobi diagonal of the masked stiffness, assembled on the host
+        # in the original numbering (setup-time, once), then distributed
+        b = self.inner.cell_batch
+        g = np.asarray(b.grads)
+        g2 = np.sum(g * g, axis=-1)
+        scale = np.asarray(b.scale)
+        if g2.shape[1] == 1:
+            contrib = scale.sum(axis=1)[:, None] * g2[:, 0]
+        else:
+            contrib = np.einsum("cq,cqa->ca", scale, g2)
+        acc = np.zeros(self.inner.n_dofs)
+        np.add.at(acc, np.asarray(b.dofs).reshape(-1), contrib.reshape(-1))
+        mask_np = np.asarray(self.inner.bcs.mask[:, eq])
+        dtilde = np.where(mask_np | (acc == 0), 1.0, acc)
+        dtilde_d = self.to_dist(jnp.asarray(dtilde, self.dtype))
+        # phantom rows: identity (to_dist zero-fills them)
+        dtilde_d = jnp.where(dtilde_d == 0, 1.0, dtilde_d)
+
+        A = self._dist_stiffness_op(eq)
+        At = jax.jit(lambda x: A(x) / dtilde_d)
+        lmax = power_iteration_lmax(At, self.n_dofs_dist, iters=power_iters)
+        cheb = chebyshev_solver(At, lmax / ratio, 1.05 * lmax, degree)
+        self._dist_ell = (eq, lambda r: cheb(r / dtilde_d))
+        self._step_jit = None
+
+    _dist_ell = None
+
     # -- node-block Jacobi preconditioner ----------------------------------------
 
     def _jacobian_blocks(self, delta, u_old, d_hist, aux, params):
@@ -470,17 +545,29 @@ class DistributedSystem:
         def build(delta):
             blocks = self._jacobian_blocks(delta, u_old, d_hist, aux, params)
             inv = invert_blocks(blocks)
+            if self._dist_ell is not None:
+                # fully distributed path (enable_distributed_elliptic):
+                # the Chebyshev solve operates on the sharded column
+                # directly — no O(n_dofs) replicated arrays anywhere in
+                # the dd step
+                eq, ell_solve = self._dist_ell
+
+                def M_dist(r):
+                    y = block_apply(inv, r)
+                    return y.at[:, eq].set(
+                        ell_solve(r[:, eq]).astype(y.dtype))
+
+                return M_dist
             if ell is None:
                 return lambda r: block_apply(inv, r)
             eq, ell_solve = ell
 
             def M(r):
                 y = block_apply(inv, r)
-                # elliptic solve runs replicated on the original numbering
-                # (all-gather one column, scatter back); the Poisson block
-                # is 1/n_eq of the state so this stays a small fraction of
-                # the halo-exchanged work. A fully distributed MG is the
-                # planned upgrade.
+                # LEGACY fallback: the inherited single-chip MG solve runs
+                # replicated on the original numbering (all-gather one
+                # column, scatter back) — prefer
+                # `enable_distributed_elliptic` for production dd runs.
                 r_glob = r[self._slot_of_j, eq]
                 y_col = ell_solve(r_glob)
                 y_pad = jnp.concatenate(

@@ -46,8 +46,15 @@ def _dot(a: Array, b: Array) -> Array:
     sa = jnp.where((sa > 0) & jnp.isfinite(sa), sa, 1.0)
     sb = jnp.where((sb > 0) & jnp.isfinite(sb), sb, 1.0)
     # ordering: never form sa*sb (can overflow the range even when the
-    # result is representable)
-    return sa * (jnp.vdot(af / sa, bf / sb) * sb)
+    # result is representable), and multiply the SMALLER scale into the
+    # O(n) normalised dot first — `vdot*s_max` could itself overflow when
+    # s_max is near range-max and the other scale is tiny, even though the
+    # final product is representable. With s_min first the intermediate is
+    # at most n*s_min (s_max<1 case) or |result|/s_max <= |result|
+    # (s_max>=1 case): never more than n above the true result.
+    s_min = jnp.minimum(sa, sb)
+    s_max = jnp.maximum(sa, sb)
+    return s_max * (jnp.vdot(af / sa, bf / sb) * s_min)
 
 
 def _norm(a: Array) -> Array:

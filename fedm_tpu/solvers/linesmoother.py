@@ -111,16 +111,21 @@ def tridiag_solve_pcr(a: Array, b: Array, c: Array, d: Array) -> Array:
 
 
 class ZLineSmoother:
-    """Line-Jacobi preconditioner: exact tridiagonal solves along index-j
-    lines of a structured dof grid, with optional Richardson iterations.
+    """Line-Jacobi preconditioner: tridiagonal solves along index-j lines
+    of a structured dof grid, with optional Richardson iterations.
 
     A: the (masked) linear operator on flat [n_dofs] vectors.
     node_grid: [n_i, n_j] int array of dof ids; every dof must appear
         exactly once (structured 'right'/'left' meshes).
     n_iter: total line solves (1 = plain line-Jacobi; >1 adds damped
         Richardson refinement steps x += M(r - A x)).
-    method: 'pcr' (parallel cyclic reduction, default — log-depth,
-        TPU-native) or 'thomas' (sequential scan, exact).
+    method: 'pcr' (parallel cyclic reduction, the default on ALL
+        backends — log-depth vector rounds instead of Thomas's 2*n_j
+        sequential steps; its UNPIVOTED reduction assumes diagonally
+        dominant lines, which masked Laplacian z-lines are, and can
+        degrade on indefinite/non-dominant systems) or 'thomas' (the
+        sequential-scan exact elimination — use it when feeding lines
+        that are not diagonally dominant).
     """
 
     def __init__(self, A: Callable, node_grid: np.ndarray, n_dofs: int,

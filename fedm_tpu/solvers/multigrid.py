@@ -139,12 +139,11 @@ class GeometricMultigrid:
 
         self.smoothers = []
         for k, lev in enumerate(self.levels[:-1]):
-            if line_grids is not None:
+            if (line_grids is not None and isinstance(self.ops[k], StencilOp)
+                    and k < len(line_grids) and line_grids[k] is not None):
                 from .linesmoother import tridiag_solve_pcr
 
                 st = self.ops[k]
-                assert isinstance(st, StencilOp), (
-                    "line smoothing needs a structured grid per level")
                 a_l, b_l, c_l = st.line_coeffs()
 
                 def line_smooth(r, st=st, a=a_l, b=b_l, c=c_l):
@@ -153,6 +152,16 @@ class GeometricMultigrid:
                     return st.to_flat(X).astype(r.dtype)
 
                 self.smoothers.append(line_smooth)
+            elif (line_grids is not None and k < len(line_grids)
+                    and line_grids[k] is not None):
+                # stencil extraction failed for this level (ops[k] is the
+                # generic matvec): fall back to the probe-extraction z-line
+                # smoother rather than crashing construction
+                from .linesmoother import ZLineSmoother
+
+                sm = ZLineSmoother(lev.A, line_grids[k], lev.n, n_iter=1,
+                                   dtype=lev.dtilde.dtype)
+                self.smoothers.append(sm.solve)
             else:
                 A_fast = self.ops[k]
                 At = (lambda x, A=A_fast, lev=lev: A(x) / lev.dtilde)

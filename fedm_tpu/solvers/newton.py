@@ -49,6 +49,16 @@ class NewtonConfig:
     max_halvings: int = 6       # line-search backtracking depth
     armijo: float = 1e-4
     max_stalls: int = 2         # consecutive non-reducing iterations allowed
+    # SNES-style step tolerance ('-snes_stol'): declare convergence when an
+    # IMPROVING full-step (lam=1) Newton update moves the iterate by less
+    # than stol * ||u||. In the increment formulation ||u|| is the size of
+    # the BDF step's change itself, so stol bounds the solver's inexactness
+    # relative to exactly the quantity the adaptive ttol error control
+    # measures. This is the noise-floor-aware criterion for row-equilibrated
+    # f32 systems, where the achievable residual reduction is capped by
+    # assembly cancellation noise: the residual stalls but the update has
+    # already shrunk below significance. 0 disables.
+    stol: float = 0.0
     freeze_precond: bool = False  # build the block preconditioner once at
                                   # the initial iterate instead of per
                                   # iteration (cheaper; SNES '-snes_lag_jacobian')
@@ -77,16 +87,16 @@ def newton_krylov(
     target = jnp.maximum(config.rtol * f0_norm, config.atol)
 
     def cond(state):
-        u, fnorm, k, stalls, linres = state
+        u, fnorm, k, stalls, linres, step_ok = state
         bad = (stalls >= config.max_stalls) | (~jnp.isfinite(fnorm))
-        return (fnorm > target) & (k < config.max_iter) & (~bad)
+        return (fnorm > target) & (k < config.max_iter) & (~bad) & (~step_ok)
 
     M_frozen = (precond_builder(u0)
                 if (precond_builder is not None and config.freeze_precond)
                 else None)
 
     def body(state):
-        u, fnorm, k, stalls, _ = state
+        u, fnorm, k, stalls, _, _ = state
         f, jvp = jax.linearize(residual, u)
         if precond_builder is None:
             M = None
@@ -158,11 +168,20 @@ def newton_krylov(
         u_new = u_keep * u_new + (1.0 - u_keep) * u
         fnorm_new = jnp.where(improved, fnew_norm, fnorm)
         stalls = jnp.where(improved, 0, stalls + 1)
-        return u_new, fnorm_new, k + 1, stalls, linres
+        # stol: an improving FULL step whose update is already below
+        # stol * ||iterate|| (see NewtonConfig.stol). Requiring lam=1
+        # excludes line-search-crippled iterations whose tiny updates mean
+        # "stuck", not "converged".
+        if config.stol > 0:
+            step_ok = (improved & (lam >= 1.0)
+                       & (_norm(delta) <= config.stol * _norm(u_new)))
+        else:
+            step_ok = jnp.asarray(False)
+        return u_new, fnorm_new, k + 1, stalls, linres, step_ok
 
     init = (u0, f0_norm, jnp.int32(0),
             jnp.where(jnp.isfinite(f0_norm), 0, 99).astype(jnp.int32),
-            jnp.asarray(jnp.inf, f0_norm.dtype))
-    u, fnorm, k, stalls, linres = lax.while_loop(cond, body, init)
-    converged = (fnorm <= target) & jnp.isfinite(fnorm)
+            jnp.asarray(jnp.inf, f0_norm.dtype), jnp.asarray(False))
+    u, fnorm, k, stalls, linres, step_ok = lax.while_loop(cond, body, init)
+    converged = ((fnorm <= target) | step_ok) & jnp.isfinite(fnorm)
     return u, NewtonInfo(converged, k, fnorm, f0_norm, linres)

@@ -24,13 +24,23 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
     k = A.shape[-1]
     if reg:
         A = A + reg * jnp.eye(k, dtype=A.dtype)
-    # per-block magnitude normalisation: cofactors/determinants form
-    # products of 2-3 entries, and block entries of the stiff log-form
-    # system reach ~1e13+ — products overflow TPU's range-limited f64
-    # emulation (see solvers.linear._dot). inv(A) = inv(A/s)/s is exact.
-    s = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+    # Per-ROW equilibration (then the adjugate/Gauss-Jordan below runs on
+    # O(1) entries): the coupled blocks mix rows of wildly different
+    # physical scale — a density row is vol*n/dt ~ 1e19..1e30 at a
+    # developed streamer front while the Poisson row is O(1) stiffness.
+    # A single whole-block normalisation (the round-3 code) leaves the
+    # small rows ~1e-20..1e-30 after division, and the 2-3-entry cofactor
+    # products underflow/overflow TPU's range-limited arithmetic (f32 AND
+    # the f32-pair "f64" emulation share ~1e+-38) — the preconditioner
+    # silently turns singular/NaN exactly where the physics stiffens,
+    # which is the measured t = 1.13 ns Bagheri wall (linres=NaN in both
+    # precisions; docs/STREAMER_STUDY.md). Row equilibration is exact:
+    # inv(D^-1 A) = inv(A) D, so inv(A) = inv(D^-1 A) D^-1 — applied as a
+    # column scaling of the computed inverse.
+    s = jnp.max(jnp.abs(A), axis=-1, keepdims=True)  # [n, k, 1] row maxes
     s = jnp.where((s > 0) & jnp.isfinite(s), s, 1.0)
     A = A / s
+    s = jnp.swapaxes(s, -2, -1)  # inv columns j scale by 1/row_max_j
     if k == 1:
         return (1.0 / A) / s
     if k == 2:

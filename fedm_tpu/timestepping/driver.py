@@ -76,6 +76,7 @@ class AdaptiveDriver:
         fallback_system: Optional[CoupledSystem] = None,
         escalate_after_rejects: int = 2,
         crash_checkpoint: Optional[Path] = None,
+        post_accept: Optional[Callable] = None,
     ):
         self.system = system
         self.monitor_idx = monitor_idx
@@ -118,6 +119,12 @@ class AdaptiveDriver:
         # reference just raises SystemExit, `functions.py:1099-1100`).
         self.crash_checkpoint = (
             Path(crash_checkpoint) if crash_checkpoint is not None else None)
+        # Projection applied to the accepted state (AFTER the step-error
+        # test, so the error control still measures the raw solve). Used
+        # for physics-preserving clamps — e.g. the streamer's far-field
+        # density floor at the physical background, which bounds the
+        # state's dynamic range on range-limited TPU arithmetic.
+        self.post_accept = post_accept
 
     def _die(self, state: TimeState, n_rejected: int, msg: str):
         if self.crash_checkpoint is not None:
@@ -195,6 +202,8 @@ class AdaptiveDriver:
                 self._log_error(err, dt_old, dt)
                 if err < self.ttol:
                     # accepted: controller proposes the next dt
+                    if self.post_accept is not None:
+                        u_new = self.post_accept(u_new)
                     max_error = [err, state.max_error[0], state.max_error[1]]
                     new_dt = self.controller(
                         dt, max_error, self.ttol, self.dt_min, self.dt_max,

@@ -25,3 +25,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tiering: everything under tests/verification and tests/parallel is
+    compile-heavy (whole-model fixtures, minutes each) and marked `slow`;
+    `./run_tests.sh` runs the quick tier (`-m "not slow"`), `--all` the full
+    suite. Individual unit tests can also opt in with
+    @pytest.mark.slow."""
+    import pytest
+
+    for item in items:
+        p = str(item.fspath)
+        if "/verification/" in p or "/parallel/" in p:
+            item.add_marker(pytest.mark.slow)

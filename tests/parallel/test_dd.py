@@ -157,3 +157,36 @@ def test_dd_glow_full_step_matches(tmp_path):
     assert bool(info2.converged)
     np.testing.assert_allclose(d.from_dist(u2), np.asarray(u1),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_dd_distributed_stiffness_op_matches():
+    """The halo-exchanged masked Laplacian (`_dist_stiffness_op`) equals
+    the single-device `masked_stiffness_op` in the original numbering."""
+    m_ref, m_dd, d = _models()
+    A_ref = m_ref.system.masked_stiffness_op(2)
+    A_dd = d._dist_stiffness_op(2)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(m_ref.system.n_dofs)
+    y_ref = np.asarray(A_ref(jnp.asarray(x)))
+    xd = d.to_dist(jnp.asarray(x))
+    y_dd = d.from_dist(A_dd(xd))
+    np.testing.assert_allclose(y_dd, y_ref, rtol=1e-10,
+                               atol=1e-12 * np.abs(y_ref).max())
+
+
+def test_dd_distributed_elliptic_step():
+    """With `enable_distributed_elliptic` the dd step converges to the
+    same accepted state with no replicated elliptic solve in the loop."""
+    m_ref, m_dd, d = _models()
+    st = m_ref.initial_state()
+    params = _PARAMS()
+    u1, info1 = m_ref.system.step(st.u, st.u, st.u, {}, params)
+    assert bool(info1.converged)
+
+    d.enable_distributed_elliptic(2, degree=10)
+    assert d._dist_ell is not None
+    ud = d.to_dist(st.u)
+    u2, info2 = d.step(ud, ud, ud, {}, params)
+    assert bool(info2.converged)
+    np.testing.assert_allclose(d.from_dist(u2), np.asarray(u1),
+                               rtol=1e-6, atol=1e-10)

@@ -212,3 +212,46 @@ def test_invert_blocks_is_scale_invariant():
                 np.testing.assert_allclose(
                     inv[i] @ (base[i] * scale), np.eye(k),
                     rtol=1e-8, atol=1e-8)
+
+
+def test_invert_blocks_mixed_row_scales_f32():
+    """Streamer-front node blocks mix density rows ~1e21 with O(1)
+    Poisson rows; whole-block normalisation left cofactor products
+    underflowing f32 range (the t=1.13 ns wall). Per-row equilibration
+    must keep the f32 inverse accurate."""
+    from fedm_tpu.solvers.precond import invert_blocks
+
+    rng = np.random.default_rng(7)
+    n = 64
+    base = rng.standard_normal((n, 3, 3)) + 3.0 * np.eye(3)
+    # row scales spanning 21 orders of magnitude (density, density, phi)
+    scales = np.array([1e21, 5e20, 1.0])
+    A = base * scales[None, :, None]
+    inv_f32 = np.asarray(invert_blocks(jnp.asarray(A, jnp.float32)),
+                         np.float64)
+    inv_ref = np.linalg.inv(A)
+    assert np.isfinite(inv_f32).all()
+    # elementwise relative error vs the f64 inverse, scale-aware
+    err = np.abs(inv_f32 - inv_ref) / (np.abs(inv_ref) + 1e-300)
+    assert np.median(err) < 1e-5
+    assert err.max() < 1e-2
+
+
+def test_invert_blocks_extreme_rows_finite_f32():
+    """At 55 e-folds of electron density the row scales reach ~1e30;
+    the inverse must stay finite and usable in f32."""
+    from fedm_tpu.solvers.precond import block_apply, invert_blocks
+
+    rng = np.random.default_rng(11)
+    n = 16
+    base = rng.standard_normal((n, 3, 3)) + 3.0 * np.eye(3)
+    scales = np.array([1e30, 1e28, 1.0])
+    A = base * scales[None, :, None]
+    inv = invert_blocks(jnp.asarray(A, jnp.float32))
+    assert np.isfinite(np.asarray(inv)).all()
+    r = rng.standard_normal((n, 3)) * np.array([1e30, 1e28, 1.0])
+    y = np.asarray(block_apply(inv, jnp.asarray(r, jnp.float32)),
+                   np.float64)
+    # A y ~= r to f32 accuracy, row-relative
+    res = np.abs(np.einsum("nij,nj->ni", A, y) - r) / np.abs(r).max(1)[:, None]
+    assert res.max() < 1e-4

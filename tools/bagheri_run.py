@@ -41,6 +41,16 @@ def main():
     ap.add_argument("--precond", default="mg-zline",
                     choices=["mg", "mg-zline", "zline"])
     ap.add_argument("--max-steps", type=int, default=100000)
+    # round-4 wall fixes, ON by default (docs/STREAMER_STUDY.md: the
+    # t = 1.13 ns dynamic-range wall): --no-row-scaled / --no-floor for A/B
+    ap.add_argument("--no-row-scaled", action="store_true",
+                    help="disable true-l1 row equilibration")
+    ap.add_argument("--no-floor", action="store_true",
+                    help="disable the far-field background density floor")
+    ap.add_argument("--rtol", type=float, default=None,
+                    help="override Newton rtol")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-attempt Newton diagnostics")
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
 
@@ -56,7 +66,10 @@ def main():
 
     corridor = (0.0, 1.08e-2, args.dz)
     common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
-                  poisson_precond=args.precond, T_final=args.T)
+                  poisson_precond=args.precond, T_final=args.T,
+                  row_scaled=not args.no_row_scaled)
+    if not args.no_floor:
+        common["density_floor"] = 1e13  # = cfg.background
     if args.f64:
         model = StreamerModel(StreamerConfig(**common))
         fallback = None
@@ -65,8 +78,8 @@ def main():
         # floor sits at ~res0/800, right at the default rtol=1e-3 target;
         # 3e-3 converges in 2-4 iterations and the adaptive ttol error
         # control still guards physical accuracy
-        nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
-                          linear_maxiter=400)
+        nc = NewtonConfig(rtol=args.rtol or 3e-3, max_iter=20,
+                          linear_tol=1e-4, linear_maxiter=400)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
         fallback = StreamerModel(StreamerConfig(**common), mesh=model.mesh)
@@ -84,7 +97,8 @@ def main():
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
         error_log=args.out / "relative error.log",
         fallback_system=None if fallback is None else fallback.system,
-        crash_checkpoint=args.out / "crash.npz")
+        crash_checkpoint=args.out / "crash.npz",
+        post_accept=model.floor_projection(), verbose=args.verbose)
 
     ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
@@ -116,15 +130,21 @@ def main():
     T = args.T
     t_wall = time.perf_counter()
     n_last = state.n_accepted
+    last_saved = state.n_accepted
     while state.t < T * (1 - 1e-12) and state.n_accepted < args.max_steps:
         state.dt = min(state.dt, T - state.t)
         state = driver.advance(state, {})
-        if state.n_accepted % args.report_every == 0:
+        # n_accepted-transition triggers (rejected attempts must not
+        # re-fire the report or re-save the same checkpoint)
+        if (state.n_accepted % args.report_every == 0
+                and state.n_accepted != n_last):
             now = time.perf_counter()
             report(state, now - t_wall, state.n_accepted - n_last)
             t_wall, n_last = now, state.n_accepted
-        if state.n_accepted % args.checkpoint_every == 0:
+        if (state.n_accepted % args.checkpoint_every == 0
+                and state.n_accepted != last_saved):
             save_checkpoint(ckpt, state)
+            last_saved = state.n_accepted
             # keep a trail of stiff-regime restart points
             if state.n_accepted % (10 * args.checkpoint_every) == 0:
                 save_checkpoint(

@@ -84,7 +84,7 @@ def main():
     driver = AdaptiveDriver(
         model.system, monitor_idx=0, ttol=args.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
-        error_log=args.out / "relative error.log",
+        error_log=args.out / "relative_error.log",
         fallback_system=fallback_system,
         crash_checkpoint=args.out / "crash.npz")
 
@@ -109,16 +109,23 @@ def main():
     T = args.T
     t_wall = time.perf_counter()
     n_last = state.n_accepted
+    last_saved = state.n_accepted
     while state.t < T and state.n_accepted < args.max_steps:
         state.dt = min(state.dt, max(T - state.t, model.cfg.dt_min))
         aux = model._update_aux_jit(state.u)
         state = driver.advance(state, aux)
-        if state.n_accepted % args.report_every == 0:
+        # trigger on n_accepted TRANSITIONS: rejected attempts leave
+        # n_accepted unchanged and must not re-fire the report (resetting
+        # the steps/s window) or re-save the same checkpoint
+        if (state.n_accepted % args.report_every == 0
+                and state.n_accepted != n_last):
             now = time.perf_counter()
             report(state, now - t_wall, state.n_accepted - n_last)
             t_wall, n_last = now, state.n_accepted
-        if state.n_accepted % args.checkpoint_every == 0:
+        if (state.n_accepted % args.checkpoint_every == 0
+                and state.n_accepted != last_saved):
             save_checkpoint(ckpt, state)
+            last_saved = state.n_accepted
 
     save_checkpoint(ckpt, state)
     report(state, time.perf_counter() - t_wall, state.n_accepted - n_last)
