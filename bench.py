@@ -55,12 +55,13 @@ def _stiff_bench():
     # checkpoint)
     nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
                       linear_maxiter=400)
-    # round-4 production additions (the t=1.13 ns wall fixes,
-    # docs/STREAMER_STUDY.md): true-l1 row equilibration + far-field
-    # density floor at the physical background
+    # round-4 production additions (the t=1.13 ns wall work,
+    # docs/STREAMER_STUDY.md): far-field density floor at the physical
+    # background + row-equilibrated block inversion (always on inside
+    # solvers.precond). row_scaled stays off pending the wall A/B.
     common = dict(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
                   stab_mode="peclet", poisson_precond="mg-zline",
-                  row_scaled=True, density_floor=1e13)
+                  density_floor=1e13)
     cfg = StreamerConfig(dtype=jnp.float32, newton=nc, **common)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()

@@ -72,6 +72,22 @@ def _acc_dtype(b: Array):
     return jnp.float64 if jax.config.jax_enable_x64 else b.dtype
 
 
+def _tiny(acc) -> Array:
+    """Breakdown threshold for rho/omega/denominator guards.
+
+    On TPU the nominal f64 is an f32-pair emulation whose RANGE is still
+    f32's (~1e+-38): a 1e-290 threshold silently underflows to 0.0 and
+    breakdown detection NEVER fires — near-stagnation rho/omega then
+    underflow and their ratios go 0/0 = NaN. This was the t = 1.125 ns
+    Bagheri `linres=nan` (docs/STREAMER_STUDY.md): not the physics, a
+    platform-blind constant. Pick the threshold by the backend's actual
+    range floor.
+    """
+    if acc == jnp.float64 and jax.default_backend() not in ("tpu", "axon"):
+        return jnp.asarray(1e-290, acc)
+    return jnp.asarray(1e-32, acc)
+
+
 def _identity(x: Array) -> Array:
     return x
 
@@ -129,7 +145,7 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
     v = p = jnp.zeros_like(b)
     bnorm = jnp.maximum(_norm(b), 1e-300)
     target = jnp.maximum(tol * bnorm, atol)
-    tiny = jnp.asarray(1e-290 if acc == jnp.float64 else 1e-32, acc)
+    tiny = _tiny(acc)
 
     def cond(state):
         x, r, rhat, rho, alpha, omega, v, p, k, broke = state
@@ -184,7 +200,7 @@ def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
     x = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.maximum(_norm(b), 1e-300)
     target = jnp.maximum(tol * bnorm, atol)
-    tiny = jnp.asarray(1e-290 if acc == jnp.float64 else 1e-32, acc)
+    tiny = _tiny(acc)
 
     def arnoldi_cycle(x):
         r = b - matvec(x)

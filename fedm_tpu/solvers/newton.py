@@ -137,9 +137,18 @@ def newton_krylov(
                     )
                     return d, lr
 
+                # NaN compares False, so `linres > tol` alone would SKIP
+                # the rescue exactly on a BiCGStab breakdown (rho/omega
+                # NaN) — the case the fallback exists for (measured: the
+                # t=1.125 ns Bagheri NaN never reached GMRES). A non-finite
+                # delta also restarts GMRES from zero, not from the
+                # poisoned iterate.
+                delta_ok = jnp.all(jnp.isfinite(delta))
+                delta = jnp.where(delta_ok, delta, jnp.zeros_like(delta))
                 delta, linres = lax.cond(
-                    linres > config.linear_tol, _fallback,
-                    lambda args: args, (delta, linres))
+                    (linres > config.linear_tol) | ~jnp.isfinite(linres)
+                    | ~delta_ok,
+                    _fallback, lambda args: args, (delta, linres))
 
         # backtracking line search (SNES newtonls-style damping)
         def ls_cond(ls):

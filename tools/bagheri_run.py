@@ -51,6 +51,13 @@ def main():
                     help="override Newton rtol")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics")
+    ap.add_argument("--no-fallback", action="store_true",
+                    help="f32 only: skip the emulated-f64 escalation system "
+                         "(measured to crash the tunneled TPU worker on the "
+                         "55k-dof program)")
+    ap.add_argument("--linear-solver", default=None,
+                    choices=[None, "bicgstab", "gmres"],
+                    help="override the Newton inner solver")
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
 
@@ -79,11 +86,16 @@ def main():
         # 3e-3 converges in 2-4 iterations and the adaptive ttol error
         # control still guards physical accuracy
         nc = NewtonConfig(rtol=args.rtol or 3e-3, max_iter=20,
-                          linear_tol=1e-4, linear_maxiter=400)
+                          linear_tol=1e-4, linear_maxiter=400,
+                          linear_solver=args.linear_solver or "bicgstab")
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
-        fallback = StreamerModel(StreamerConfig(**common), mesh=model.mesh)
-        fallback.system.use_gather_scatter()
+        if args.no_fallback:
+            fallback = None
+        else:
+            fallback = StreamerModel(StreamerConfig(**common),
+                                     mesh=model.mesh)
+            fallback.system.use_gather_scatter()
     model.system.use_gather_scatter()
 
     n_dofs = model.space.n_dofs

@@ -35,6 +35,10 @@ KEYS = ["Ar_1p0", "Ar_star", "Ar_plus", "electrons"]
 
 
 def read_golden(name):
+    """Read a FEniCS write_checkpoint snapshot: `vector` is in DOF order
+    while `mesh/geometry` is in VERTEX order — build the vertex->dof
+    permutation from `topology` + `cell_dofs` (P1: cell_dofs[3c+i] is the
+    dof of vertex topology[c, i]); returns (geometry, values-at-vertices)."""
     import h5py
 
     with h5py.File(GOLD / f"{name}.h5", "r") as f:
@@ -43,8 +47,13 @@ def read_golden(name):
             g = f.get(f"{name}/{name}_{snap}")
             if g is None:
                 break
-            out.append((np.asarray(g["mesh/geometry"]),
-                        np.asarray(g["vector"])[:, 0]))
+            geo = np.asarray(g["mesh/geometry"])
+            vec = np.asarray(g["vector"])[:, 0]
+            topo = np.asarray(g["mesh/topology"])        # [n_c, 3] vertices
+            cdofs = np.asarray(g["cell_dofs"])[:, 0]     # [3*n_c] dofs
+            dof_of_vertex = np.empty(len(geo), np.int64)
+            dof_of_vertex[topo.reshape(-1)] = cdofs
+            out.append((geo, vec[dof_of_vertex]))
     return out
 
 
@@ -94,15 +103,22 @@ def main():
 
     state = model.initial_state()
     t0 = time.perf_counter()
-    while state.t < T * (1 - 1e-12):
-        state.dt = min(state.dt, T - state.t)
+    # NO dt clamp at the horizon: the reference's loop runs `while t <
+    # T_final` with controller-proposed dts and OVERSHOOTS T; the pinned
+    # t=1e-11 fields are the time-INTERPOLATED output between the
+    # bracketing accepted states (`fedm/file_io.py:594-628`, our
+    # io.output.file_output) — reproduce exactly that.
+    t_prev, u_prev = state.t, np.asarray(state.u)
+    while state.t < T:
+        t_prev, u_prev = state.t, np.asarray(state.u)
         aux = model._update_aux_jit(state.u)
         state = driver.advance(state, aux)
     print(f"reached t={state.t:.6e} in {state.n_accepted} steps "
           f"({state.n_rejected} rejected), "
           f"{time.perf_counter() - t0:.1f}s wall", flush=True)
 
-    u = np.asarray(state.u)
+    u_new = np.asarray(state.u)
+    u = u_prev + (T - t_prev) * (u_new - u_prev) / (state.t - t_prev)
     coords = model.space.dof_coords
     lnN0 = np.log(cfg.N0)
     ours = {"Ar_1p0": np.full(model.space.n_dofs, lnN0),
@@ -134,6 +150,16 @@ def main():
         print(f"  {k:10s} (snap {len(snaps)-1}): L1={l1:.3e} L2={l2:.3e} "
               f"Linf={li:.3e}  {'PASS' if ok else 'FAIL'} "
               f"(tol: L1/L2<1e-5, Linf<1e-3)")
+        # interior metrics: discrepancies concentrate in the first node
+        # rows at the electrodes (see docs/GLOW_STUDY.md, golden-parity
+        # section) — quantify the agreement away from them
+        zb = geo[:, 1]
+        interior = (zb > 1.5e-4) & (zb < 0.01 - 1.5e-4)
+        ei = err[interior]
+        print(f"  {'':10s}  interior (z in [1.5e-4, 1e-2 - 1.5e-4]): "
+              f"L1={np.mean(np.abs(ei)):.3e} "
+              f"L2={np.sqrt(np.mean(ei**2)):.3e} "
+              f"Linf={np.max(np.abs(ei)):.3e}")
     print(f"\noverall: {'PASS' if overall_ok else 'FAIL'}")
     np.savez(args.out / "final_state.npz", u=u, coords=coords)
     return 0 if overall_ok else 1
