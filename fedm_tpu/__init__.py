@@ -28,6 +28,15 @@ import os
 
 import jax
 
+# Backend override that actually works under the axon sitecustomize: the
+# ambient environment pins JAX_PLATFORMS to the tunneled TPU backend and a
+# site hook re-registers it at interpreter start, so the env var alone is
+# not enough (tests/conftest.py gotcha list). FEDM_TPU_PLATFORM=cpu forces
+# the platform via jax.config BEFORE backend initialisation — used to run
+# CPU-side tools (e.g. the glow horizon march) concurrently with a TPU job.
+if os.environ.get("FEDM_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FEDM_TPU_PLATFORM"])
+
 if not os.environ.get("FEDM_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
