@@ -137,9 +137,14 @@ class StreamerConfig:
                 # inexact-Newton tolerances sitting above the f32 assembly
                 # noise floor (~1e-4 relative); the adaptive ttol error
                 # control still guards physical accuracy
+                # accept_reduction: the floor is MESH-dependent (res0/800
+                # at dz=2e-5, res0/224 at dz=1e-5) — accept a stalled
+                # iterate that has still reduced ||F|| 30x+ rather than
+                # dead-stalling on finer meshes (NewtonConfig docstring)
                 self.newton = NewtonConfig(rtol=1e-3, max_iter=20,
                                            linear_tol=1e-4,
-                                           linear_maxiter=400)
+                                           linear_maxiter=400,
+                                           accept_reduction=3e-2)
             else:
                 self.newton = NewtonConfig(rtol=1e-4, max_iter=20,
                                            linear_tol=1e-6,

@@ -59,6 +59,17 @@ class NewtonConfig:
     # assembly cancellation noise: the residual stalls but the update has
     # already shrunk below significance. 0 disables.
     stol: float = 0.0
+    # Noise-floor stall acceptance: in f32 the achievable ||F|| reduction
+    # is capped by assembly cancellation noise, and the cap is
+    # MESH-DEPENDENT (measured on the Bagheri corridor meshes: ~res0/800
+    # at dz=2e-5 but only ~res0/224 at dz=1e-5 — a fixed rtol that works
+    # on one mesh dead-stalls the next size up: every step "fails", dt
+    # walks to dt_min from step one). When the iteration exits on
+    # `max_stalls` consecutive non-reducing iterations (i.e. it sits AT
+    # its floating-point floor) but has achieved at least this residual
+    # reduction, declare convergence and let the adaptive ttol error
+    # control judge the step physically. 0 disables (strict rtol only).
+    accept_reduction: float = 0.0
     freeze_precond: bool = False  # build the block preconditioner once at
                                   # the initial iterate instead of per
                                   # iteration (cheaper; SNES '-snes_lag_jacobian')
@@ -192,5 +203,12 @@ def newton_krylov(
             jnp.where(jnp.isfinite(f0_norm), 0, 99).astype(jnp.int32),
             jnp.asarray(jnp.inf, f0_norm.dtype), jnp.asarray(False))
     u, fnorm, k, stalls, linres, step_ok = lax.while_loop(cond, body, init)
-    converged = ((fnorm <= target) | step_ok) & jnp.isfinite(fnorm)
+    stall_accept = jnp.asarray(False)
+    if config.accept_reduction > 0:
+        # exited ON the floor (not mid-progress): stalls reached the limit,
+        # yet the kept-best iterate has reduced ||F|| by accept_reduction
+        stall_accept = ((stalls >= config.max_stalls)
+                        & (fnorm <= config.accept_reduction * f0_norm))
+    converged = ((fnorm <= target) | step_ok | stall_accept) & jnp.isfinite(
+        fnorm)
     return u, NewtonInfo(converged, k, fnorm, f0_norm, linres)
