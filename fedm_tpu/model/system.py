@@ -614,9 +614,81 @@ class CoupledSystem:
         delta, info = newton_krylov(R, delta0, newton, pb)
         return u_old + delta.astype(u_old.dtype), info
 
+    # -- host-driven Newton (NewtonConfig.host_loop) -------------------------
+    #
+    # The deployment TPU (tunneled) KILLS single XLA executions longer than
+    # O(minutes): a whole-step jit of 20 Newton x 800 Krylov iterations on a
+    # production mesh exceeds the deadline exactly where the physics
+    # stiffens ("TPU worker process crashed" — root-caused with a
+    # pure-matmul probe, docs/STREAMER_STUDY.md round 5). Host mode runs the
+    # nonlinear loop in Python, one XLA execution per Newton ITERATION
+    # (linearize + preconditioned Krylov + line search), bounding each
+    # execution to one linear solve. Overhead: one scalar device->host sync
+    # per iteration (~ms against the ~1 s iterations it bounds).
+
+    _host_iter_jit = None
+    _host_res0_jit = None
+
+    def _host_iter_impl(self, delta, fnorm, u_old, d_hist, aux, params,
+                        bc_shift):
+        from ..solvers.newton import newton_iteration
+
+        R = self.make_delta_residual_fn(u_old, d_hist, aux, params, bc_shift)
+        pb = (self.block_precond_builder(u_old, d_hist, aux, params)
+              if self.use_block_precond else None)
+        return newton_iteration(R, delta, fnorm, self.newton, pb)
+
+    def _host_res0_impl(self, delta, u_old, d_hist, aux, params, bc_shift):
+        from ..solvers.linear import _norm
+
+        R = self.make_delta_residual_fn(u_old, d_hist, aux, params, bc_shift)
+        return _norm(R(delta))
+
+    def _step_host(self, u_guess, u_old, u_old1, aux, params: StepParams):
+        import numpy as np
+
+        from ..solvers.newton import NewtonInfo, newton_converged
+
+        (delta, u_old_c, d_hist, aux_c, params_c,
+         bc_shift) = self._cast_inputs(u_guess, u_old, u_old1, aux, params)
+        if self._host_iter_jit is None:
+            self._host_iter_jit = jax.jit(self._host_iter_impl)
+            self._host_res0_jit = jax.jit(self._host_res0_impl)
+        f0_norm = self._host_res0_jit(delta, u_old_c, d_hist, aux_c,
+                                      params_c, bc_shift)
+        f0 = float(f0_norm)
+        cfgn = self.newton
+        target = max(cfgn.rtol * f0, cfgn.atol)
+        fnorm, k, linres, step_ok = f0, 0, float("inf"), False
+        stalls = 0 if np.isfinite(f0) else 99
+        while (fnorm > target and k < cfgn.max_iter
+               and stalls < cfgn.max_stalls and np.isfinite(fnorm)
+               and not step_ok):
+            (delta, fnorm_a, linres_a, improved_a,
+             step_ok_a) = self._host_iter_jit(
+                delta, jnp.asarray(fnorm, f0_norm.dtype), u_old_c, d_hist,
+                aux_c, params_c, bc_shift)
+            fnorm = float(fnorm_a)
+            linres = float(linres_a)
+            step_ok = bool(step_ok_a)
+            stalls = 0 if bool(improved_a) else stalls + 1
+            k += 1
+        converged = bool(newton_converged(fnorm, f0, target, stalls,
+                                          step_ok, cfgn))
+        info = NewtonInfo(jnp.asarray(converged), jnp.int32(k),
+                          jnp.asarray(fnorm, f0_norm.dtype), f0_norm,
+                          jnp.asarray(linres, f0_norm.dtype))
+        return u_old + delta.astype(u_old.dtype), info
+
     def step(self, u_guess, u_old, u_old1, aux, params: StepParams):
         """One attempted nonlinear solve at (t, dt). Jitted on first call;
-        dt/dt_old/t are traced so the adaptive driver never recompiles."""
+        dt/dt_old/t are traced so the adaptive driver never recompiles.
+        With `NewtonConfig.host_loop` (single-chip, non-row-scaled,
+        non-GSPMD) the nonlinear loop runs on the host instead — see
+        `_step_host`."""
+        if (self.newton.host_loop and self.gspmd is None
+                and not self.row_scaled):
+            return self._step_host(u_guess, u_old, u_old1, aux, params)
         if self._step_jit is None:
             self._step_jit = jax.jit(self._step)
         return self._step_jit(u_guess, u_old, u_old1, aux, params)

@@ -141,10 +141,14 @@ class StreamerConfig:
                 # at dz=2e-5, res0/224 at dz=1e-5) — accept a stalled
                 # iterate that has still reduced ||F|| 30x+ rather than
                 # dead-stalling on finer meshes (NewtonConfig docstring)
+                # host_loop: one XLA execution per Newton iteration — the
+                # tunneled-TPU deployment kills whole-step executions at
+                # stiff states (solvers/newton.py module docstring)
                 self.newton = NewtonConfig(rtol=1e-3, max_iter=20,
                                            linear_tol=1e-4,
                                            linear_maxiter=400,
-                                           accept_reduction=3e-2)
+                                           accept_reduction=3e-2,
+                                           host_loop=True)
             else:
                 self.newton = NewtonConfig(rtol=1e-4, max_iter=20,
                                            linear_tol=1e-6,

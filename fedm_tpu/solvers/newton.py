@@ -15,6 +15,19 @@ Replaces PETSc SNES + MUMPS (`/root/reference/fedm/functions.py:1047`,
   reference's reject/retry semantics (`fedm/functions.py:1080-1100`).
 
 Convergence test is SNES-style: ||F|| <= max(rtol * ||F0||, atol).
+
+The solver comes in two drive modes sharing one iteration body
+(`newton_iteration`):
+
+- `newton_krylov`: the whole iteration in a `lax.while_loop` — one XLA
+  execution per nonlinear solve. Best for small/sharded programs.
+- a HOST-driven loop (`model/system.CoupledSystem` with
+  `NewtonConfig.host_loop`): convergence control in Python, one XLA
+  execution per Newton iteration. Required on the tunneled-TPU
+  deployment target, which KILLS single XLA executions longer than
+  O(minutes) ("TPU worker process crashed" — measured with a pure-matmul
+  probe; a stiff-regime whole-step execution of 20 Newton x 800 Krylov
+  iterations exceeds the deadline exactly where the physics stiffens).
 """
 
 from __future__ import annotations
@@ -73,6 +86,12 @@ class NewtonConfig:
     freeze_precond: bool = False  # build the block preconditioner once at
                                   # the initial iterate instead of per
                                   # iteration (cheaper; SNES '-snes_lag_jacobian')
+    # Drive the nonlinear loop from the HOST (one XLA execution per Newton
+    # iteration) instead of a lax.while_loop. See module docstring — this
+    # bounds single-execution time on deployment targets that kill long
+    # executions. Honoured by CoupledSystem.step (single-chip,
+    # non-row-scaled, non-GSPMD paths); `newton_krylov` itself ignores it.
+    host_loop: bool = False
 
 
 class NewtonInfo(NamedTuple):
@@ -83,6 +102,128 @@ class NewtonInfo(NamedTuple):
     lin_relres: Array  # last linear-solve relative residual
 
 
+def newton_iteration(
+    residual: Callable[[Array], Array],
+    u: Array,
+    fnorm: Array,
+    config: NewtonConfig,
+    precond_builder: Optional[Callable[[Array], Callable]] = None,
+    M_frozen: Optional[Callable] = None,
+):
+    """One damped Newton-Krylov iteration (jittable; shared by the
+    while_loop and host-loop drive modes).
+
+    Returns (u_new, fnorm_new, linres, improved, step_ok) where `u_new` /
+    `fnorm_new` KEEP the incoming iterate when the line search fails to
+    reduce (the caller counts that as a stall), `improved` says whether
+    the residual decreased, and `step_ok` is the stol criterion.
+    """
+    lin = {"bicgstab": bicgstab, "cg": cg,
+           "gmres": gmres}[config.linear_solver]
+
+    f, jvp = jax.linearize(residual, u)
+    if precond_builder is None:
+        M = None
+    elif M_frozen is not None:
+        M = M_frozen
+    else:
+        M = precond_builder(u)
+    if M is None or config.linear_solver == "cg":
+        # CG implements proper preconditioned CG (M-inner products)
+        delta, linres, _ = lin(
+            jvp, -f, precond=M,
+            tol=config.linear_tol, maxiter=config.linear_maxiter,
+        )
+    elif config.linear_solver == "gmres":
+        delta, linres, _ = gmres(
+            lambda v: M(jvp(v)), M(-f),
+            tol=config.linear_tol, maxiter=config.linear_maxiter,
+            restart=config.gmres_restart,
+        )
+    else:
+        # LEFT preconditioning: the log-density formulation produces
+        # residual rows spanning hundreds of orders of magnitude (the
+        # Gaussian far field); converging in the M^-1-scaled norm makes
+        # the Krylov tolerance a per-row relative accuracy, which a
+        # sparse direct solver (the reference's MUMPS) gets for free.
+        delta, linres, _ = lin(
+            lambda v: M(jvp(v)), M(-f),
+            tol=config.linear_tol, maxiter=config.linear_maxiter,
+        )
+        if config.gmres_fallback:
+            def _fallback(args):
+                delta0, _ = args
+                d, lr, _ = gmres(
+                    lambda v: M(jvp(v)), M(-f), x0=delta0,
+                    tol=config.linear_tol,
+                    maxiter=config.linear_maxiter,
+                    restart=config.gmres_restart,
+                )
+                return d, lr
+
+            # NaN compares False, so `linres > tol` alone would SKIP
+            # the rescue exactly on a BiCGStab breakdown (rho/omega
+            # NaN) — the case the fallback exists for (measured: the
+            # t=1.125 ns Bagheri NaN never reached GMRES). A non-finite
+            # delta also restarts GMRES from zero, not from the
+            # poisoned iterate.
+            delta_ok = jnp.all(jnp.isfinite(delta))
+            delta = jnp.where(delta_ok, delta, jnp.zeros_like(delta))
+            delta, linres = lax.cond(
+                (linres > config.linear_tol) | ~jnp.isfinite(linres)
+                | ~delta_ok,
+                _fallback, lambda args: args, (delta, linres))
+
+    # backtracking line search (SNES newtonls-style damping)
+    def ls_cond(ls):
+        lam, fnew_norm, h = ls
+        ok = fnew_norm <= (1.0 - config.armijo * lam) * fnorm
+        return (~ok) & (h < config.max_halvings)
+
+    def ls_body(ls):
+        lam, _, h = ls
+        lam = lam * 0.5
+        fnew_norm = _norm(residual(u + lam.astype(u.dtype) * delta))
+        return lam, fnew_norm, h + 1
+
+    lam0 = jnp.asarray(1.0, fnorm.dtype)
+    fnew0 = _norm(residual(u + delta))
+    lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
+                                       (lam0, fnew0, jnp.int32(0)))
+    u_new = u + lam.astype(u.dtype) * delta
+
+    # a non-reducing iteration (residual at its floating-point floor
+    # wandering up) keeps the better iterate; the caller counts a stall
+    improved = jnp.isfinite(fnew_norm) & (fnew_norm < fnorm)
+    u_keep = jnp.where(improved, 1.0, 0.0).astype(u.dtype)
+    u_new = u_keep * u_new + (1.0 - u_keep) * u
+    fnorm_new = jnp.where(improved, fnew_norm, fnorm)
+    # stol: an improving FULL step whose update is already below
+    # stol * ||iterate|| (see NewtonConfig.stol). Requiring lam=1
+    # excludes line-search-crippled iterations whose tiny updates mean
+    # "stuck", not "converged".
+    if config.stol > 0:
+        step_ok = (improved & (lam >= 1.0)
+                   & (_norm(delta) <= config.stol * _norm(u_new)))
+    else:
+        step_ok = jnp.asarray(False)
+    return u_new, fnorm_new, linres, improved, step_ok
+
+
+def newton_converged(fnorm, f0_norm, target, stalls, step_ok,
+                     config: NewtonConfig):
+    """Final convergence verdict shared by both drive modes (works on jnp
+    scalars inside jit and on Python floats/bools in the host loop)."""
+    stall_accept = False
+    if config.accept_reduction > 0:
+        # exited ON the floor (not mid-progress): stalls reached the limit,
+        # yet the kept-best iterate has reduced ||F|| by accept_reduction
+        stall_accept = ((stalls >= config.max_stalls)
+                        & (fnorm <= config.accept_reduction * f0_norm))
+    return ((fnorm <= target) | jnp.asarray(step_ok)
+            | jnp.asarray(stall_accept)) & jnp.isfinite(fnorm)
+
+
 def newton_krylov(
     residual: Callable[[Array], Array],
     u0: Array,
@@ -90,9 +231,6 @@ def newton_krylov(
     precond_builder: Optional[Callable[[Array], Callable]] = None,
 ):
     """Solve residual(u) = 0 starting from u0. Returns (u, NewtonInfo)."""
-    lin = {"bicgstab": bicgstab, "cg": cg,
-           "gmres": gmres}[config.linear_solver]
-
     f0 = residual(u0)
     f0_norm = _norm(f0)
     target = jnp.maximum(config.rtol * f0_norm, config.atol)
@@ -108,107 +246,15 @@ def newton_krylov(
 
     def body(state):
         u, fnorm, k, stalls, _, _ = state
-        f, jvp = jax.linearize(residual, u)
-        if precond_builder is None:
-            M = None
-        elif config.freeze_precond:
-            M = M_frozen
-        else:
-            M = precond_builder(u)
-        if M is None or config.linear_solver == "cg":
-            # CG implements proper preconditioned CG (M-inner products)
-            delta, linres, _ = lin(
-                jvp, -f, precond=M,
-                tol=config.linear_tol, maxiter=config.linear_maxiter,
-            )
-        elif config.linear_solver == "gmres":
-            delta, linres, _ = gmres(
-                lambda v: M(jvp(v)), M(-f),
-                tol=config.linear_tol, maxiter=config.linear_maxiter,
-                restart=config.gmres_restart,
-            )
-        else:
-            # LEFT preconditioning: the log-density formulation produces
-            # residual rows spanning hundreds of orders of magnitude (the
-            # Gaussian far field); converging in the M^-1-scaled norm makes
-            # the Krylov tolerance a per-row relative accuracy, which a
-            # sparse direct solver (the reference's MUMPS) gets for free.
-            delta, linres, _ = lin(
-                lambda v: M(jvp(v)), M(-f),
-                tol=config.linear_tol, maxiter=config.linear_maxiter,
-            )
-            if config.gmres_fallback:
-                def _fallback(args):
-                    delta0, _ = args
-                    d, lr, _ = gmres(
-                        lambda v: M(jvp(v)), M(-f), x0=delta0,
-                        tol=config.linear_tol,
-                        maxiter=config.linear_maxiter,
-                        restart=config.gmres_restart,
-                    )
-                    return d, lr
-
-                # NaN compares False, so `linres > tol` alone would SKIP
-                # the rescue exactly on a BiCGStab breakdown (rho/omega
-                # NaN) — the case the fallback exists for (measured: the
-                # t=1.125 ns Bagheri NaN never reached GMRES). A non-finite
-                # delta also restarts GMRES from zero, not from the
-                # poisoned iterate.
-                delta_ok = jnp.all(jnp.isfinite(delta))
-                delta = jnp.where(delta_ok, delta, jnp.zeros_like(delta))
-                delta, linres = lax.cond(
-                    (linres > config.linear_tol) | ~jnp.isfinite(linres)
-                    | ~delta_ok,
-                    _fallback, lambda args: args, (delta, linres))
-
-        # backtracking line search (SNES newtonls-style damping)
-        def ls_cond(ls):
-            lam, fnew_norm, h = ls
-            ok = fnew_norm <= (1.0 - config.armijo * lam) * fnorm
-            return (~ok) & (h < config.max_halvings)
-
-        def ls_body(ls):
-            lam, _, h = ls
-            lam = lam * 0.5
-            fnew_norm = _norm(residual(u + lam.astype(u.dtype) * delta))
-            return lam, fnew_norm, h + 1
-
-        lam0 = jnp.asarray(1.0, fnorm.dtype)
-        fnew0 = _norm(residual(u + delta))
-        lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
-                                           (lam0, fnew0, jnp.int32(0)))
-        u_new = u + lam.astype(u.dtype) * delta
-
-        # a non-reducing iteration (residual at its floating-point floor
-        # wandering up) keeps the better iterate and counts a stall;
-        # `max_stalls` consecutive stalls or a non-finite residual abort
-        # (the adaptive driver then shrinks dt)
-        improved = jnp.isfinite(fnew_norm) & (fnew_norm < fnorm)
-        u_keep = jnp.where(improved, 1.0, 0.0).astype(u.dtype)
-        u_new = u_keep * u_new + (1.0 - u_keep) * u
-        fnorm_new = jnp.where(improved, fnew_norm, fnorm)
+        u_new, fnorm_new, linres, improved, step_ok = newton_iteration(
+            residual, u, fnorm, config, precond_builder, M_frozen)
         stalls = jnp.where(improved, 0, stalls + 1)
-        # stol: an improving FULL step whose update is already below
-        # stol * ||iterate|| (see NewtonConfig.stol). Requiring lam=1
-        # excludes line-search-crippled iterations whose tiny updates mean
-        # "stuck", not "converged".
-        if config.stol > 0:
-            step_ok = (improved & (lam >= 1.0)
-                       & (_norm(delta) <= config.stol * _norm(u_new)))
-        else:
-            step_ok = jnp.asarray(False)
         return u_new, fnorm_new, k + 1, stalls, linres, step_ok
 
     init = (u0, f0_norm, jnp.int32(0),
             jnp.where(jnp.isfinite(f0_norm), 0, 99).astype(jnp.int32),
             jnp.asarray(jnp.inf, f0_norm.dtype), jnp.asarray(False))
     u, fnorm, k, stalls, linres, step_ok = lax.while_loop(cond, body, init)
-    stall_accept = jnp.asarray(False)
-    if config.accept_reduction > 0:
-        # exited ON the floor (not mid-progress): stalls reached the limit,
-        # yet the kept-best iterate has reduced ||F|| by accept_reduction
-        stall_accept = ((stalls >= config.max_stalls)
-                        & (fnorm <= config.accept_reduction * f0_norm))
-    converged = ((fnorm <= target) | step_ok | stall_accept) & jnp.isfinite(
-        fnorm)
+    converged = newton_converged(fnorm, f0_norm, target, stalls, step_ok,
+                                 config)
     return u, NewtonInfo(converged, k, fnorm, f0_norm, linres)

@@ -71,3 +71,27 @@ def test_step_error_norm_matches_reference_formula():
     expected = (np.linalg.norm(np.asarray(b - a) + DOLFIN_EPS)
                 / np.linalg.norm(np.asarray(a) + DOLFIN_EPS))
     assert float(step_error_norm(b, a)) == pytest.approx(expected, rel=1e-12)
+
+
+def test_host_loop_newton_matches_jitted_step():
+    """NewtonConfig.host_loop (one XLA execution per Newton iteration — the
+    tunneled-TPU single-execution-deadline workaround, solvers/newton.py
+    module docstring) must advance identically to the whole-step jit."""
+    from dataclasses import replace
+
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+
+    cfg = StreamerConfig(nx=8, ny=12, dtype=jnp.float32, mg_levels=0)
+    assert cfg.newton.host_loop  # f32 production default
+    m_host = StreamerModel(cfg)
+    m_jit = StreamerModel(StreamerConfig(
+        nx=8, ny=12, dtype=jnp.float32, mg_levels=0,
+        newton=replace(cfg.newton, host_loop=False)))
+    s1, s2 = m_host.initial_state(), m_jit.initial_state()
+    d1, d2 = m_host.make_driver(), m_jit.make_driver()
+    for _ in range(2):
+        s1 = d1.advance(s1, {})
+        s2 = d2.advance(s2, {})
+    assert s1.n_accepted == s2.n_accepted == 2
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u),
+                               rtol=0, atol=2e-4)

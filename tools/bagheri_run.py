@@ -91,7 +91,7 @@ def main():
         nc = NewtonConfig(rtol=args.rtol or 3e-3, max_iter=20,
                           linear_tol=1e-4, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
-                          accept_reduction=3e-2)
+                          accept_reduction=3e-2, host_loop=True)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
         if args.no_fallback:
