@@ -5,10 +5,11 @@ numbers; `BASELINE.json` "published": {}).
 
 Measurement protocol (round 2 — honest mid-run numbers):
 - restart from a committed STIFF-REGIME checkpoint of the Bagheri 14 ns
-  run (`bench_assets/bagheri_ckpt.npz`, written by `tools/bagheri_run.py`
-  at ~1 ns: ionisation front formed, ne ~ 1e19-1e20, field ~1e7 V/m —
-  the regime that dominates the production run, NOT the easy
-  near-uniform post-init steps round 1 measured);
+  run (`bench_assets/bagheri_dz1e-5_ckpt.npz`, written by
+  `tools/bagheri_run.py` at ~1 ns on the production dz=1e-5 mesh:
+  ionisation front formed, ne ~ 1e19-1e20, field ~1e7 V/m — the regime
+  that dominates the production run, NOT the easy near-uniform post-init
+  steps round 1 measured);
 - measure >= 50 accepted adaptive BDF steps (full Newton-Krylov, error
   control, PID controller);
 - report BOTH named metrics: DoF*BDF-steps/s/chip (primary) and
@@ -33,7 +34,12 @@ from pathlib import Path
 
 REFERENCE_ESTIMATE = 2.0e4  # DoF*BDF-steps/s, see module docstring
 ROOT = Path(__file__).resolve().parent
-CKPT = ROOT / "bench_assets" / "bagheri_ckpt.npz"
+# production checkpoint (round-5 configuration: dz=1e-5 corridor mesh,
+# f32-only host-loop Newton — the config that traverses the old t=1.13 ns
+# wall, docs/STREAMER_STUDY.md round 5); legacy dz=2e-5 checkpoint kept as
+# a fallback so the bench still runs on older asset sets
+CKPT_DZ1E5 = ROOT / "bench_assets" / "bagheri_dz1e-5_ckpt.npz"
+CKPT_LEGACY = ROOT / "bench_assets" / "bagheri_ckpt.npz"
 
 
 def _stiff_bench():
@@ -46,28 +52,31 @@ def _stiff_bench():
     from fedm_tpu.solvers.newton import NewtonConfig
     from fedm_tpu.timestepping import AdaptiveDriver
 
-    # the exact configuration of tools/bagheri_run.py (which wrote the
-    # checkpoint): 55k-node corridor mesh, f32 + ELL, Peclet upwinding,
-    # z-line-smoothed V-cycle on the Poisson block, f64 fallback system
-    # for the rejection-rate-triggered precision escalation (the stiff
-    # regime contains occasional steps the f32 path cannot accept; an
-    # f32-only driver walks dt to dt_min there — measured on this very
-    # checkpoint)
-    nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
-                      linear_maxiter=400)
-    # round-4 production additions (the t=1.13 ns wall work,
-    # docs/STREAMER_STUDY.md): far-field density floor at the physical
-    # background + row-equilibrated block inversion (always on inside
-    # solvers.precond). row_scaled stays off pending the wall A/B.
-    common = dict(nx=96, z_corridor=(0.0, 1.08e-2, 2e-5),
+    # the exact configuration of the tools/bagheri_run.py production run
+    # that wrote the checkpoint (docs/STREAMER_STUDY.md round 5): f32-only,
+    # host-driven Newton loop (one XLA execution per Newton iteration —
+    # the tunneled-TPU execution deadline kills long single executions),
+    # noise-floor stall acceptance, far-field density floor, Peclet
+    # upwinding, z-line-smoothed V-cycle. No f64 fallback system: the
+    # production path takes zero escalations (measured), and the emulated
+    # f64 program crashes the tunneled TPU worker at this size.
+    if CKPT_DZ1E5.exists():
+        ckpt, dz = CKPT_DZ1E5, 1e-5
+        nc = NewtonConfig(rtol=1e-2, max_iter=20, linear_tol=1e-4,
+                          linear_maxiter=400, accept_reduction=3e-2,
+                          host_loop=True)
+    else:
+        ckpt, dz = CKPT_LEGACY, 2e-5
+        nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
+                          linear_maxiter=400, accept_reduction=3e-2,
+                          host_loop=True)
+    common = dict(nx=96, z_corridor=(0.0, 1.08e-2, dz),
                   stab_mode="peclet", poisson_precond="mg-zline",
                   density_floor=1e13)
     cfg = StreamerConfig(dtype=jnp.float32, newton=nc, **common)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()
-    fallback = StreamerModel(StreamerConfig(**common), mesh=model.mesh)
-    fallback.system.use_gather_scatter()
-    state = load_checkpoint(CKPT)
+    state = load_checkpoint(ckpt)
     assert state.u.shape[0] == model.space.n_dofs, "checkpoint/mesh mismatch"
     n_unknowns = model.space.n_dofs * model.n_eq
     print(f"bench: Bagheri streamer restart at t={state.t:.3e} "
@@ -77,27 +86,18 @@ def _stiff_bench():
     driver = AdaptiveDriver(
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
-        fallback_system=fallback.system,
         post_accept=model.floor_projection())
-    # warm-up: compile BOTH systems (escalated f64 attempts inside the
-    # measurement window would otherwise charge a one-off ~3-minute
-    # remote-compile to the steady-state number) + settle the controller
+    # warm-up: compile (the persistent XLA cache usually absorbs this)
+    # + settle the controller
     t0 = time.perf_counter()
     state = driver.advance(state, {})
     print(f"bench: first step (incl. compile) "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    from fedm_tpu.model.system import StepParams
-    import jax.numpy as jnp
-    wp = StepParams(jnp.asarray(state.t + state.dt), jnp.asarray(state.dt),
-                    jnp.asarray(state.dt_old))
-    t0 = time.perf_counter()
-    u_warm, _ = fallback.system.step(state.u, state.u, state.u_old, {}, wp)
-    jax.block_until_ready(u_warm)
-    print(f"bench: f64 fallback compile+step {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
     state = driver.advance(state, {})
 
-    n_steps = 50
+    # FEDM_TPU_BENCH_STEPS shortens the window for CPU smoke-verification
+    # of the bench path itself; the driver-run default stays 50.
+    n_steps = int(os.environ.get("FEDM_TPU_BENCH_STEPS", "50"))
     start_acc, start_rej = state.n_accepted, state.n_rejected
     import jax as _jax
     _jax.block_until_ready(state.u)
@@ -151,7 +151,8 @@ def _fresh_bench():
 
 
 def main():
-    res = _stiff_bench() if CKPT.exists() else _fresh_bench()
+    have_ckpt = CKPT_DZ1E5.exists() or CKPT_LEGACY.exists()
+    res = _stiff_bench() if have_ckpt else _fresh_bench()
     print(f"bench: {res['accepted']} accepted / {res['attempts']} attempted "
           f"steps; Newton-Krylov {res['newton_krylov_s_per_step']:.3f} "
           f"s/step; regime: {res['regime']}", file=sys.stderr)
