@@ -360,6 +360,39 @@ class CoupledSystem:
     def residual(self, u, u_old, u_old1, aux: Dict, params: StepParams):
         return self.make_residual_fn(u_old, u_old1, aux, params)(u)
 
+    def _hi_enabled(self) -> bool:
+        return (self.newton.hi_residual and jax.config.jax_enable_x64
+                and self.dtype != jnp.float64)
+
+    def _make_hi_residual(self, u_old, u_old1, aux: Dict,
+                          params: StepParams):
+        """f64 evaluation of the SAME delta-residual
+        (`NewtonConfig.hi_residual`): kernel arithmetic, scatter
+        accumulation, history differences and BC rows run in f64 (on TPU:
+        the emulated f32-pair, ~2^-48 precision at f32 range) over the
+        same f32-stored geometry/quadrature tables. That is a well-defined
+        f64 evaluation of the identical discrete system — mixed f32/f64
+        einsums promote to f64 throughout assembly — so Newton's defect is
+        freed from the f32 assembly cancellation-noise floor while the
+        Krylov correction stays f32."""
+        hi = jnp.float64
+        d_hist = (u_old - u_old1).astype(hi)
+        g = self.bcs.values(params.t)
+        bc_shift = (u_old - g).astype(hi)
+        u_old_h = u_old.astype(hi)
+
+        def cast(v):
+            if isinstance(v, jax.Array) and jnp.issubdtype(v.dtype,
+                                                           jnp.floating):
+                return v.astype(hi)
+            return v
+
+        aux_h = {k: cast(v) for k, v in aux.items()}
+        params_h = StepParams(*(jnp.asarray(x, hi) for x in params))
+        R = self.make_delta_residual_fn(u_old_h, d_hist, aux_h, params_h,
+                                        bc_shift)
+        return lambda d: R(d.astype(hi))
+
     # -- node-block Jacobi preconditioner ------------------------------------
 
     def _jacobian_blocks(self, delta, u_old, d_hist, aux, params):
@@ -611,7 +644,15 @@ class CoupledSystem:
             if self.use_block_precond
             else None
         )
-        delta, info = newton_krylov(R, delta0, newton, pb)
+        R_hi = None
+        if self._hi_enabled() and not self.row_scaled:
+            R_hi_base = self._make_hi_residual(u_old, u_old1, aux, params)
+            if self.gspmd is not None:
+                R_hi = lambda d: self._gspmd_constrain(
+                    R_hi_base(self._gspmd_constrain(d)))
+            else:
+                R_hi = R_hi_base
+        delta, info = newton_krylov(R, delta0, newton, pb, residual_hi=R_hi)
         return u_old + delta.astype(u_old.dtype), info
 
     # -- host-driven Newton (NewtonConfig.host_loop) -------------------------
@@ -629,19 +670,30 @@ class CoupledSystem:
     _host_iter_jit = None
     _host_res0_jit = None
 
-    def _host_iter_impl(self, delta, fnorm, u_old, d_hist, aux, params,
-                        bc_shift):
+    def _host_iter_impl(self, delta, fnorm, u_old, u_old1, aux, params):
         from ..solvers.newton import newton_iteration
 
-        R = self.make_delta_residual_fn(u_old, d_hist, aux, params, bc_shift)
-        pb = (self.block_precond_builder(u_old, d_hist, aux, params)
+        (_, u_old_c, d_hist, aux_c, params_c,
+         bc_shift) = self._cast_inputs(u_old, u_old, u_old1, aux, params)
+        R = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
+                                        bc_shift)
+        pb = (self.block_precond_builder(u_old_c, d_hist, aux_c, params_c)
               if self.use_block_precond else None)
-        return newton_iteration(R, delta, fnorm, self.newton, pb)
+        R_hi = (self._make_hi_residual(u_old, u_old1, aux, params)
+                if self._hi_enabled() else None)
+        return newton_iteration(R, delta, fnorm, self.newton, pb,
+                                residual_hi=R_hi)
 
-    def _host_res0_impl(self, delta, u_old, d_hist, aux, params, bc_shift):
+    def _host_res0_impl(self, delta, u_old, u_old1, aux, params):
         from ..solvers.linear import _norm
 
-        R = self.make_delta_residual_fn(u_old, d_hist, aux, params, bc_shift)
+        if self._hi_enabled():
+            return _norm(self._make_hi_residual(u_old, u_old1, aux,
+                                                params)(delta))
+        (_, u_old_c, d_hist, aux_c, params_c,
+         bc_shift) = self._cast_inputs(u_old, u_old, u_old1, aux, params)
+        R = self.make_delta_residual_fn(u_old_c, d_hist, aux_c, params_c,
+                                        bc_shift)
         return _norm(R(delta))
 
     def _step_host(self, u_guess, u_old, u_old1, aux, params: StepParams):
@@ -649,13 +701,11 @@ class CoupledSystem:
 
         from ..solvers.newton import NewtonInfo, newton_converged
 
-        (delta, u_old_c, d_hist, aux_c, params_c,
-         bc_shift) = self._cast_inputs(u_guess, u_old, u_old1, aux, params)
+        delta = (u_guess - u_old).astype(self.dtype)
         if self._host_iter_jit is None:
             self._host_iter_jit = jax.jit(self._host_iter_impl)
             self._host_res0_jit = jax.jit(self._host_res0_impl)
-        f0_norm = self._host_res0_jit(delta, u_old_c, d_hist, aux_c,
-                                      params_c, bc_shift)
+        f0_norm = self._host_res0_jit(delta, u_old, u_old1, aux, params)
         f0 = float(f0_norm)
         cfgn = self.newton
         target = max(cfgn.rtol * f0, cfgn.atol)
@@ -666,8 +716,8 @@ class CoupledSystem:
                and not step_ok):
             (delta, fnorm_a, linres_a, improved_a,
              step_ok_a) = self._host_iter_jit(
-                delta, jnp.asarray(fnorm, f0_norm.dtype), u_old_c, d_hist,
-                aux_c, params_c, bc_shift)
+                delta, jnp.asarray(fnorm, f0_norm.dtype), u_old, u_old1,
+                aux, params)
             fnorm = float(fnorm_a)
             linres = float(linres_a)
             step_ok = bool(step_ok_a)

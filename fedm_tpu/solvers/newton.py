@@ -92,6 +92,23 @@ class NewtonConfig:
     # executions. Honoured by CoupledSystem.step (single-chip,
     # non-row-scaled, non-GSPMD paths); `newton_krylov` itself ignores it.
     host_loop: bool = False
+    # Mixed-precision Newton (iterative-refinement structure): evaluate the
+    # RESIDUAL (right-hand side, line-search norms, convergence norms) in
+    # f64 while the Jacobian action, preconditioner and Krylov correction
+    # solve stay in the f32 compute dtype. The attainable solution quality
+    # of an inexact Newton iteration is set by the precision of its
+    # residual, not its Jacobian (classic mixed-precision refinement:
+    # f64 defect + f32 correction). This removes the f32 assembly
+    # cancellation-noise floor that otherwise caps the achievable ||F||
+    # reduction (mesh-dependent, docs/STREAMER_STUDY.md round 5) and
+    # pollutes accepted states with dt-INDEPENDENT noise the adaptive
+    # error control then mistakes for physical error (the t=1.29 ns
+    # stall/field-runaway death spiral). Cost: one emulated-f64 residual
+    # assembly per Newton iteration + per line-search probe (milliseconds)
+    # — the Krylov iterations, where the time goes, stay f32.
+    # Honoured by CoupledSystem.step; `newton_krylov` takes the hi-residual
+    # callable explicitly.
+    hi_residual: bool = False
 
 
 class NewtonInfo(NamedTuple):
@@ -109,9 +126,17 @@ def newton_iteration(
     config: NewtonConfig,
     precond_builder: Optional[Callable[[Array], Callable]] = None,
     M_frozen: Optional[Callable] = None,
+    residual_hi: Optional[Callable[[Array], Array]] = None,
 ):
     """One damped Newton-Krylov iteration (jittable; shared by the
     while_loop and host-loop drive modes).
+
+    `residual_hi`, when given, is a higher-precision evaluation of the
+    SAME residual (see NewtonConfig.hi_residual): it supplies the Newton
+    right-hand side and all line-search/convergence norms, while
+    `residual` still provides the (cheap) Jacobian action for the Krylov
+    correction. The incoming `fnorm` must then have been computed with
+    `residual_hi` too.
 
     Returns (u_new, fnorm_new, linres, improved, step_ok) where `u_new` /
     `fnorm_new` KEEP the incoming iterate when the line search fails to
@@ -122,6 +147,13 @@ def newton_iteration(
            "gmres": gmres}[config.linear_solver]
 
     f, jvp = jax.linearize(residual, u)
+    if residual_hi is not None:
+        # f64 defect, f32 correction: the hi-precision residual (cast to
+        # the compute dtype entrywise — every entry is representable, the
+        # point is its noise-free LEADING digits) replaces the f32-noisy
+        # assembly as the Newton right-hand side
+        f = residual_hi(u).astype(f.dtype)
+    res_ls = residual if residual_hi is None else residual_hi
     if precond_builder is None:
         M = None
     elif M_frozen is not None:
@@ -183,11 +215,11 @@ def newton_iteration(
     def ls_body(ls):
         lam, _, h = ls
         lam = lam * 0.5
-        fnew_norm = _norm(residual(u + lam.astype(u.dtype) * delta))
+        fnew_norm = _norm(res_ls(u + lam.astype(u.dtype) * delta))
         return lam, fnew_norm, h + 1
 
     lam0 = jnp.asarray(1.0, fnorm.dtype)
-    fnew0 = _norm(residual(u + delta))
+    fnew0 = _norm(res_ls(u + delta))
     lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
                                        (lam0, fnew0, jnp.int32(0)))
     u_new = u + lam.astype(u.dtype) * delta
@@ -229,9 +261,10 @@ def newton_krylov(
     u0: Array,
     config: NewtonConfig = NewtonConfig(),
     precond_builder: Optional[Callable[[Array], Callable]] = None,
+    residual_hi: Optional[Callable[[Array], Array]] = None,
 ):
     """Solve residual(u) = 0 starting from u0. Returns (u, NewtonInfo)."""
-    f0 = residual(u0)
+    f0 = residual(u0) if residual_hi is None else residual_hi(u0)
     f0_norm = _norm(f0)
     target = jnp.maximum(config.rtol * f0_norm, config.atol)
 
@@ -247,7 +280,8 @@ def newton_krylov(
     def body(state):
         u, fnorm, k, stalls, _, _ = state
         u_new, fnorm_new, linres, improved, step_ok = newton_iteration(
-            residual, u, fnorm, config, precond_builder, M_frozen)
+            residual, u, fnorm, config, precond_builder, M_frozen,
+            residual_hi)
         stalls = jnp.where(improved, 0, stalls + 1)
         return u_new, fnorm_new, k + 1, stalls, linres, step_ok
 

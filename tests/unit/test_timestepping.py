@@ -95,3 +95,57 @@ def test_host_loop_newton_matches_jitted_step():
     assert s1.n_accepted == s2.n_accepted == 2
     np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u),
                                rtol=0, atol=2e-4)
+
+
+def test_hi_residual_newton_tracks_f64():
+    """NewtonConfig.hi_residual (f64 defect + f32 Krylov correction — the
+    mixed-precision refinement structure that removes the f32 assembly
+    cancellation-noise floor, docs/STREAMER_STUDY.md round 6) must
+    converge past the plain-f32 floor and land far closer to the full-f64
+    solve of the same step."""
+    from dataclasses import replace
+
+    from fedm_tpu.model.system import StepParams
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+
+    common = dict(nx=8, ny=12, mg_levels=0)
+    base = StreamerConfig(dtype=jnp.float32, **common).newton
+    # rtol 1e-6: far below the plain-f32 noise floor (measured ~res0/800
+    # at best on these meshes) yet above the hi-residual scheme's own
+    # floor, the f32 CORRECTION significance limit (measured ~2e-8*res0
+    # on this config)
+    nc = replace(base, rtol=1e-6, max_iter=12, linear_tol=1e-4,
+                 linear_maxiter=400, accept_reduction=0.0)
+    m32 = StreamerModel(StreamerConfig(
+        dtype=jnp.float32, newton=replace(nc, hi_residual=False), **common))
+    mhi = StreamerModel(StreamerConfig(
+        dtype=jnp.float32, newton=replace(nc, hi_residual=True), **common))
+    m64 = StreamerModel(StreamerConfig(
+        newton=replace(nc, host_loop=False), **common), mesh=m32.mesh)
+
+    s = m64.initial_state()
+    dt = m64.cfg.dt_init
+    params = StepParams(jnp.asarray(s.t + dt), jnp.asarray(dt),
+                        jnp.asarray(1e30))
+    u64, info64 = m64.system.step(s.u, s.u, s.u_old1, {}, params)
+    assert bool(info64.converged)
+    u32, info32 = m32.system.step(s.u, s.u, s.u_old1, {}, params)
+    uhi, info_hi = mhi.system.step(s.u, s.u, s.u_old1, {}, params)
+    # the hi-defect iteration must reach the 1e-6 target (measured floor of
+    # this scheme ~2e-8*res0: the f32 CORRECTION significance limit)...
+    assert bool(info_hi.converged)
+    red_hi = float(info_hi.res_norm) / float(info_hi.res0_norm)
+    assert red_hi <= 1e-6, red_hi
+    assert np.isfinite(np.asarray(uhi)).all()
+    # ...which must be far beyond the plain-f32 assembly noise floor
+    # (measured res0/130 on this config: the f32 norm cannot even SEE
+    # reductions past its own cancellation noise)
+    red32 = float(info32.res_norm) / float(info32.res0_norm)
+    assert red_hi < 1e-2 * red32, (red_hi, red32)
+    # and the TRUE residual (f64-evaluated at the returned states) must be
+    # genuinely lower, not just lower in the solver's own norm
+    F_true = m64.system.make_residual_fn(s.u, s.u_old1, {}, params)
+    from fedm_tpu.solvers.linear import _norm as _n
+    true32 = float(_n(F_true(u32.astype(jnp.float64))))
+    true_hi = float(_n(F_true(uhi.astype(jnp.float64))))
+    assert true_hi < 0.2 * true32, (true_hi, true32)

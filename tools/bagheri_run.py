@@ -53,6 +53,12 @@ def main():
                     help="disable the far-field background density floor")
     ap.add_argument("--rtol", type=float, default=None,
                     help="override Newton rtol")
+    ap.add_argument("--hi-res", action="store_true",
+                    help="mixed-precision Newton: f64-emulated residual "
+                         "defect + f32 Krylov correction "
+                         "(NewtonConfig.hi_residual) — removes the f32 "
+                         "assembly noise floor at ~one extra residual "
+                         "eval per Newton iteration")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics")
     ap.add_argument("--no-fallback", action="store_true",
@@ -82,7 +88,14 @@ def main():
     if not args.no_floor:
         common["density_floor"] = 1e13  # = cfg.background
     if args.f64:
-        model = StreamerModel(StreamerConfig(**common))
+        # host_loop also for f64: the tunneled TPU kills long single XLA
+        # executions, and the emulated-f64 whole-step program is the
+        # longest one (docs/STREAMER_STUDY.md round 5)
+        nc = NewtonConfig(rtol=args.rtol or 1e-3, max_iter=20,
+                          linear_tol=1e-4, linear_maxiter=400,
+                          linear_solver=args.linear_solver or "bicgstab",
+                          host_loop=True)
+        model = StreamerModel(StreamerConfig(newton=nc, **common))
         fallback = None
     else:
         # measured (this tool's shakedowns): at dz=2e-5 the f32 noise
@@ -92,10 +105,12 @@ def main():
         # rtol rides just above the 55k-mesh noise floor; accept_reduction
         # covers finer meshes whose floor is higher (res0/224 at dz=1e-5
         # vs res0/800 at dz=2e-5 — measured; see NewtonConfig docstring)
-        nc = NewtonConfig(rtol=args.rtol or 3e-3, max_iter=20,
+        nc = NewtonConfig(rtol=args.rtol or (1e-4 if args.hi_res else 3e-3),
+                          max_iter=20,
                           linear_tol=1e-4, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
-                          accept_reduction=3e-2, host_loop=True)
+                          accept_reduction=3e-2, host_loop=True,
+                          hi_residual=args.hi_res)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
         if args.no_fallback:
