@@ -112,6 +112,17 @@ class StreamerConfig:
     # [z0, z1] (where the ionisation front runs; alpha*dz <~ 1 needed to
     # resolve it), geometric coarsening outside. ny is then derived.
     z_corridor: Optional[tuple] = None
+    # optional r-corridor refinement (r1, dr): uniform dr on [0, r1] with
+    # geometric coarsening out to box_width; nx is then derived. Radial
+    # resolution at the axis must track the streamer head radius
+    # (~0.3-1 mm in the Bagheri case): with only ~6 graded cells across
+    # the head (dr ~ 54 um at nx=96) the discrete front goes ANNULAR —
+    # the density maximum detaches from the axis, radial oscillations
+    # develop, the on-axis front stalls and the head field runs away
+    # (measured crash autopsy at t = 1.29 ns, docs/STREAMER_STUDY.md
+    # round 6). The z-resolved, r-starved mesh is the failure mode; this
+    # corridor is the fix.
+    r_corridor: Optional[tuple] = None
     newton: NewtonConfig = None
     # Row-equilibrated Newton system (CoupledSystem.row_scaled, true
     # assembled l1 row norms): the production setting for deep TPU runs —
@@ -243,9 +254,30 @@ class StreamerModel:
             zs = np.insert(zs, i + 1, 0.5 * (zs[i] + zs[i + 1]))
         return zs
 
+    @staticmethod
+    def _r_coords(cfg) -> np.ndarray:
+        """Radial node line for `r_corridor`: uniform dr on [0, r1],
+        geometric coarsening (ratio ~1.12) out to box_width, cell count
+        padded to the multigrid 2:1-slicing multiple like `_z_coords`."""
+        r1, dr = cfg.r_corridor
+        fine = np.arange(0.0, r1 + 0.5 * dr, dr)
+        rest = cfg.box_width - fine[-1]
+        n_hi = max(2, int(round(np.log(max(rest, dr) / dr) / np.log(1.12))))
+        hi = fine[-1] + np.cumsum(np.geomspace(dr * 1.12, rest / 3, n_hi))
+        hi = hi[hi < cfg.box_width - 0.5 * dr]
+        rs = np.unique(np.concatenate([fine, hi, [cfg.box_width]]))
+        div = 2 ** max(cfg.mg_levels - 1, 0)
+        while (len(rs) - 1) % div:
+            i = int(np.argmax(np.diff(rs)))
+            rs = np.insert(rs, i + 1, 0.5 * (rs[i] + rs[i + 1]))
+        return rs
+
     @classmethod
     def _make_mesh(cls, cfg, nx, ny=None, z_scale: int = 1) -> Mesh:
-        xs = _graded_coords(nx, cfg.box_width, cfg.grade, 0.0)
+        if cfg.r_corridor is not None:
+            xs = cls._r_coords(cfg)
+        else:
+            xs = _graded_coords(nx, cfg.box_width, cfg.grade, 0.0)
         if cfg.z_corridor is None:
             zs = cls._z_coords(cfg, ny)
         else:

@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--out", type=Path, default=Path("/tmp/bagheri"))
     ap.add_argument("--dz", type=float, default=2e-5)
     ap.add_argument("--nx", type=int, default=96)
+    ap.add_argument("--dr", type=float, default=None,
+                    help="r-corridor: uniform dr on [0, --r1] (fixes the "
+                         "annular-front artifact of radially-starved "
+                         "meshes; docs/STREAMER_STUDY.md round 6)")
+    ap.add_argument("--r1", type=float, default=2e-3,
+                    help="r-corridor fine-region extent [m]")
     ap.add_argument("--T", type=float, default=1.4e-8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--checkpoint-every", type=int, default=100)
@@ -85,6 +91,8 @@ def main():
     common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
                   poisson_precond=args.precond, T_final=args.T,
                   row_scaled=args.row_scaled)
+    if args.dr is not None:
+        common["r_corridor"] = (args.r1, args.dr)
     if not args.no_floor:
         common["density_floor"] = 1e13  # = cfg.background
     if args.f64:
