@@ -523,17 +523,27 @@ class StreamerModel:
 
     def floor_projection(self) -> Optional[Callable]:
         """Accepted-state projection for `AdaptiveDriver(post_accept=...)`:
-        clamps the electron log-density at ln(density_floor). Jitted once;
+        clamps ALL species log-densities at ln(density_floor). Jitted once;
         the clamp runs on whatever layout the state has (replicated or
-        distributed — it is elementwise)."""
+        distributed — it is elementwise).
+
+        Both species, not just the monitored electrons: the adaptive error
+        control watches electrons only (LFA monitor, like the reference's
+        `functions.py:1057`), so a wild single-node ION excursion can be
+        silently ACCEPTED; once a log-density falls below ~-87, e^u
+        underflows f32 to exactly 0 and that dof's Jacobian column is
+        identically zero — a structurally singular node block that NaNs
+        the preconditioner and walks dt to dt_min (measured: u_ion = -909
+        at one annular-rim node, t = 1.597 ns crash autopsy,
+        docs/STREAMER_STUDY.md round 6)."""
         if self.cfg.density_floor is None:
             return None
         u_floor = float(np.log(self.cfg.density_floor))
-        e_idx = self.n_eq - 2
+        n_sp = self.n_eq - 1  # all species columns; last column is Phi
 
         @jax.jit
         def clamp(u):
-            return u.at[:, e_idx].set(jnp.maximum(u[:, e_idx], u_floor))
+            return u.at[:, :n_sp].set(jnp.maximum(u[:, :n_sp], u_floor))
 
         return clamp
 

@@ -24,6 +24,21 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
     k = A.shape[-1]
     if reg:
         A = A + reg * jnp.eye(k, dtype=A.dtype)
+    A_orig = A
+
+    def _guard(inv):
+        # Structurally singular blocks (a zero COLUMN: e.g. a log-density
+        # dof whose e^u underflowed to exactly 0 — no equation determines
+        # its increment) yield det = 0 and a NaN adjugate/elimination
+        # result, which then poisons every Krylov vector (measured as the
+        # linres=NaN dt_min death at t = 1.597 ns in the Bagheri run).
+        # Fall back to the diagonal (Jacobi) pseudo-inverse for those
+        # blocks, with unit action on dead rows.
+        ok = jnp.isfinite(inv).all(axis=(-2, -1), keepdims=True)
+        d = jnp.diagonal(A_orig, axis1=-2, axis2=-1)
+        dinv = jnp.where((jnp.abs(d) > 0) & jnp.isfinite(d), 1.0 / d, 1.0)
+        fb = dinv[..., :, None] * jnp.eye(k, dtype=A_orig.dtype)
+        return jnp.where(ok, inv, fb)
     # Per-ROW equilibration (then the adjugate/Gauss-Jordan below runs on
     # O(1) entries): the coupled blocks mix rows of wildly different
     # physical scale — a density row is vol*n/dt ~ 1e19..1e30 at a
@@ -42,7 +57,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
     A = A / s
     s = jnp.swapaxes(s, -2, -1)  # inv columns j scale by 1/row_max_j
     if k == 1:
-        return (1.0 / A) / s
+        return _guard((1.0 / A) / s)
     if k == 2:
         a, b = A[:, 0, 0], A[:, 0, 1]
         c, d = A[:, 1, 0], A[:, 1, 1]
@@ -50,7 +65,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
         inv = jnp.stack(
             [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2
         )
-        return inv / det[:, None, None] / s
+        return _guard(inv / det[:, None, None] / s)
     if k == 3:
         a = A
         c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
@@ -71,7 +86,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
             ],
             -2,
         )
-        return adj / det[:, None, None] / s
+        return _guard(adj / det[:, None, None] / s)
 
     # general small k: Gauss-Jordan with partial pivoting, unrolled over k
     n = A.shape[0]
@@ -87,7 +102,7 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
         M = M.at[:, col].set(pivot_row / pivot_row[:, col : col + 1])
         factors = M[:, :, col].at[:, col].set(0.0)  # [n, k]
         M = M - factors[:, :, None] * M[:, col][:, None, :]
-    return M[:, :, k:] / s
+    return _guard(M[:, :, k:] / s)
 
 
 def block_apply(inv_blocks: Array, r: Array) -> Array:

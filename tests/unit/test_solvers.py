@@ -277,3 +277,21 @@ def test_newton_stall_acceptance_noise_floor():
         F, u0, NewtonConfig(rtol=1e-10, max_iter=20, accept_reduction=1e-2))
     assert bool(info.converged)
     assert float(info.res_norm) <= 1e-2 * float(info.res0_norm)
+
+
+def test_invert_blocks_singular_guard():
+    """A structurally singular block (zero column — e.g. a log-density dof
+    whose e^u underflowed to exactly 0) must not produce NaN: the guard
+    falls back to the diagonal pseudo-inverse for that block with unit
+    action on the dead row, leaving healthy blocks exact."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((4, 3, 3)) + 3 * np.eye(3)
+    A[2, :, 0] = 0.0  # dead column: no equation determines dof 0
+    inv = np.asarray(invert_blocks(jnp.asarray(A)))
+    assert np.isfinite(inv).all()
+    for i in (0, 1, 3):
+        np.testing.assert_allclose(inv[i] @ A[i], np.eye(3), atol=1e-10)
+    # the singular block's fallback is diag(A)^-1 (dead diag -> 1.0)
+    d = np.diag(A[2]).copy()
+    expect = np.diag(np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0))
+    np.testing.assert_allclose(inv[2], expect, atol=1e-12)
