@@ -62,17 +62,25 @@ def _stiff_bench():
     # f64 program crashes the tunneled TPU worker at this size.
     if CKPT_DZ1E5.exists():
         ckpt, dz = CKPT_DZ1E5, 1e-5
-        nc = NewtonConfig(rtol=1e-2, max_iter=20, linear_tol=1e-4,
+        # round-6 production: f64-defect Newton (hi_residual) at the
+        # reference's own rtol=1e-4, r-corridor mesh (the radially-starved
+        # meshes go annular and stall — docs/STREAMER_STUDY.md round 6)
+        nc = NewtonConfig(rtol=1e-4, max_iter=20, linear_tol=1e-4,
                           linear_maxiter=400, accept_reduction=3e-2,
-                          host_loop=True)
+                          host_loop=True, hi_residual=True)
+        # stab off: plain Galerkin like the reference — the Peclet
+        # artificial diffusion suppressed the head field and drove the
+        # annular-rim stall (round-6 A/B, docs/STREAMER_STUDY.md)
+        extra = dict(r_corridor=(2e-3, 2e-5), stab_mode="off")
     else:
         ckpt, dz = CKPT_LEGACY, 2e-5
         nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
                           linear_maxiter=400, accept_reduction=3e-2,
                           host_loop=True)
+        extra = dict(stab_mode="peclet")
     common = dict(nx=96, z_corridor=(0.0, 1.08e-2, dz),
-                  stab_mode="peclet", poisson_precond="mg-zline",
-                  density_floor=1e13)
+                  poisson_precond="mg-zline",
+                  density_floor=1e13, **extra)
     cfg = StreamerConfig(dtype=jnp.float32, newton=nc, **common)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()
