@@ -62,10 +62,14 @@ def _stiff_bench():
     # f64 program crashes the tunneled TPU worker at this size.
     if CKPT_DZ1E5.exists():
         ckpt, dz = CKPT_DZ1E5, 1e-5
-        # round-6 production: f64-defect Newton (hi_residual) at the
-        # reference's own rtol=1e-4, r-corridor mesh (the radially-starved
-        # meshes go annular and stall — docs/STREAMER_STUDY.md round 6)
-        nc = NewtonConfig(rtol=1e-4, max_iter=20, linear_tol=1e-4,
+        # round-6 production: f64-defect Newton (hi_residual), r-corridor
+        # mesh (radially-starved meshes go annular and stall —
+        # docs/STREAMER_STUDY.md round 6).
+        # rtol 1e-3: same-window A/B vs 1e-4 measured 2.84 vs 4.51 s/step
+        # with trajectory errors identical to the 3rd digit (both are
+        # ttol-guarded; with the f64-defect Newton 1e-3 sits ~1e5 above
+        # the noise floor)
+        nc = NewtonConfig(rtol=1e-3, max_iter=20, linear_tol=1e-4,
                           linear_maxiter=400, accept_reduction=3e-2,
                           host_loop=True, hi_residual=True)
         # stab off: plain Galerkin like the reference — the Peclet

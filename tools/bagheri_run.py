@@ -113,7 +113,7 @@ def main():
         # rtol rides just above the 55k-mesh noise floor; accept_reduction
         # covers finer meshes whose floor is higher (res0/224 at dz=1e-5
         # vs res0/800 at dz=2e-5 — measured; see NewtonConfig docstring)
-        nc = NewtonConfig(rtol=args.rtol or (1e-4 if args.hi_res else 3e-3),
+        nc = NewtonConfig(rtol=args.rtol or (1e-3 if args.hi_res else 3e-3),
                           max_iter=20,
                           linear_tol=1e-4, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
