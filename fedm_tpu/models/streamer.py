@@ -521,6 +521,45 @@ class StreamerModel:
 
     # -- run ----------------------------------------------------------------
 
+    def remap_state(self, dst_model: "StreamerModel", state):
+        """Interpolate a TimeState onto another StreamerModel's mesh —
+        the moving-window remesh primitive (docs/STREAMER_STUDY.md round
+        6): as the ionisation front crosses the gap, only a ~mm-wide
+        window needs the fine dz that resolves 1/alpha at the head
+        (~2.5 um at 2.4e7 V/m); re-centering a fine z-corridor on the
+        front keeps the dof count CONSTANT while the resolved region
+        follows the physics. Both meshes must share their radial node
+        lines (same r_corridor/nx); every state column is interpolated
+        1D-linearly along z per radial line. Linear interpolation of
+        u = ln(n) is a geometric-mean interpolation of the density —
+        exactly the P1 log-form representation both meshes use. History
+        fields and controller state carry over unchanged, so the BDF2 +
+        PID trajectory continues seamlessly."""
+        import dataclasses
+
+        src_c = np.asarray(self.space.dof_coords)
+        dst_c = np.asarray(dst_model.space.dof_coords)
+        zs = np.unique(src_c[:, 1])
+        zd = np.unique(dst_c[:, 1])
+        rs = np.unique(src_c[:, 0])
+        rd = np.unique(dst_c[:, 0])
+        assert len(rs) == len(rd) and np.allclose(rs, rd), (
+            "remap_state needs identical radial node lines")
+        n_r, n_eq = len(rs), self.n_eq
+        # node id = iz * n_r + ir (mesh/generators.py layout)
+        i1 = np.clip(np.searchsorted(zs, zd), 1, len(zs) - 1)
+        i0 = i1 - 1
+        w = ((zd - zs[i0]) / (zs[i1] - zs[i0]))[:, None, None]
+
+        def remap(u):
+            U = np.asarray(u).reshape(len(zs), n_r, n_eq)
+            V = (1.0 - w) * U[i0] + w * U[i1]
+            return jnp.asarray(V.reshape(len(zd) * n_r, n_eq))
+
+        return dataclasses.replace(
+            state, u=remap(state.u), u_old=remap(state.u_old),
+            u_old1=remap(state.u_old1))
+
     def floor_projection(self) -> Optional[Callable]:
         """Accepted-state projection for `AdaptiveDriver(post_accept=...)`:
         clamps ALL species log-densities at ln(density_floor). Jitted once;

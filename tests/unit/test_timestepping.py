@@ -149,3 +149,73 @@ def test_hi_residual_newton_tracks_f64():
     true32 = float(_n(F_true(u32.astype(jnp.float64))))
     true_hi = float(_n(F_true(uhi.astype(jnp.float64))))
     assert true_hi < 0.2 * true32, (true_hi, true32)
+
+
+def test_remap_state_moving_window():
+    """StreamerModel.remap_state (the moving-window remesh primitive):
+    z-linear per-r-line interpolation between meshes sharing radial
+    lines. Exact on z-linear fields; nodes shared by both grids copy
+    exactly; smooth fields interpolate at O(dz^2)."""
+    import dataclasses
+
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+    from fedm_tpu.timestepping import TimeState
+
+    common = dict(r_corridor=(2e-3, 5e-4), mg_levels=0)
+    m1 = StreamerModel(StreamerConfig(z_corridor=(8.0e-3, 1.00e-2, 1e-4),
+                                      **common))
+    m2 = StreamerModel(StreamerConfig(z_corridor=(7.0e-3, 0.90e-2, 1e-4),
+                                      **common))
+    c1 = np.asarray(m1.space.dof_coords)
+    c2 = np.asarray(m2.space.dof_coords)
+
+    def fields(c):
+        lin = 3.0 * c[:, 1] * 1e2 + 0.5 * c[:, 0] * 1e2 + 1.0
+        smooth = np.sin(c[:, 1] * 600.0) + 0.1 * c[:, 0] * 1e2
+        return np.stack([lin, smooth, lin], axis=-1)
+
+    u1 = fields(c1)
+    st = TimeState(u=jnp.asarray(u1), u_old=jnp.asarray(u1),
+                   u_old1=jnp.asarray(u1), t=1e-9, dt=2e-12, dt_old=1e-12,
+                   max_error=[1e-4, 2e-4, 3e-4], n_accepted=7, n_rejected=1)
+    out = m1.remap_state(m2, st)
+    u2 = np.asarray(out.u)
+    ref = fields(c2)
+    # z-linear column: exact up to roundoff
+    np.testing.assert_allclose(u2[:, 0], ref[:, 0], rtol=0, atol=1e-9)
+    # smooth column: second-order in the coarse-tail spacing
+    assert np.abs(u2[:, 1] - ref[:, 1]).max() < 5e-2
+    # shared z-planes copy exactly
+    shared = np.isin(np.round(c2[:, 1], 12), np.round(c1[:, 1], 12))
+    np.testing.assert_allclose(u2[shared, 1], ref[shared, 1],
+                               rtol=0, atol=1e-9)
+    # controller/history state carries over
+    assert out.t == st.t and out.dt == st.dt and out.dt_old == st.dt_old
+    assert out.n_accepted == 7 and out.max_error == st.max_error
+
+
+def test_window_remesh_advance_continues():
+    """Moving-window sequence: adaptive steps on window A, remap_state to
+    a re-centered window B, adaptive steps continue (finite state, BDF2
+    history carried over, no rejection storm)."""
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+
+    common = dict(r_corridor=(2e-3, 4e-4), mg_levels=0,
+                  density_floor=1e13, dtype=jnp.float32)
+    mA = StreamerModel(StreamerConfig(z_corridor=(9.1e-3, 1.06e-2, 1.5e-4),
+                                      **common))
+    dA = mA.make_driver()
+    s = mA.initial_state()
+    for _ in range(2):
+        s = dA.advance(s, {})
+    assert s.n_accepted == 2
+    mB = StreamerModel(StreamerConfig(z_corridor=(8.8e-3, 1.03e-2, 1.5e-4),
+                                      **common))
+    s = mA.remap_state(mB, s)
+    dB = mB.make_driver()
+    for _ in range(2):
+        s = dB.advance(s, {})
+    u = np.asarray(s.u)
+    assert s.n_accepted == 4 and np.isfinite(u).all()
+    # the remapped run keeps physical fields: seed ion peak preserved
+    assert 40.0 < u[:, 0].max() < 46.0

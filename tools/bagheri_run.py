@@ -74,6 +74,17 @@ def main():
     ap.add_argument("--linear-solver", default=None,
                     choices=[None, "bicgstab", "gmres"],
                     help="override the Newton inner solver")
+    # MOVING-WINDOW refinement (docs/STREAMER_STUDY.md round 6): keep a
+    # fine-dz z-corridor centered on the ionisation front and re-mesh +
+    # remap the state (StreamerModel.remap_state) whenever the front
+    # nears the window's leading edge. Resolves 1/alpha at the late-stage
+    # head (~2.5 um at 2.4e7 V/m) at a CONSTANT dof count instead of a
+    # 10x-finer global corridor. Requires --no-fallback (f32 production).
+    ap.add_argument("--window-dz", type=float, default=None,
+                    help="moving-window mode: fine dz inside the window")
+    ap.add_argument("--window-span", type=float, default=1.5e-3,
+                    help="window length [m] (60%% ahead of the front, "
+                         "40%% behind)")
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
 
@@ -87,7 +98,27 @@ def main():
 
     from fedm_tpu.solvers.newton import NewtonConfig
 
-    corridor = (0.0, 1.08e-2, args.dz)
+    window = args.window_dz is not None
+    if window:
+        assert args.no_fallback and not args.f64, (
+            "--window-dz is the f32 production path: pass --no-fallback")
+        span = args.window_span
+
+        def window_corr(front):
+            z_lo = max(front - 0.6 * span, 0.0)
+            z_hi = min(front + 0.4 * span, 1.08e-2)
+            return (z_lo, z_hi, args.window_dz)
+
+        corridor = window_corr(1e-2)  # initial front = the seed position
+        # the checkpoint stores fields, not the mesh: a side-car records
+        # the corridor the checkpointed state lives on
+        wfile = args.out / "window.json"
+        if args.resume and wfile.exists():
+            import json as _json
+
+            corridor = tuple(_json.loads(wfile.read_text()))
+    else:
+        corridor = (0.0, 1.08e-2, args.dz)
     common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
                   poisson_precond=args.precond, T_final=args.T,
                   row_scaled=args.row_scaled)
@@ -169,6 +200,14 @@ def main():
               f"ne_max={ne_axis.max():.3e} front_z={front:.4e} "
               f"Emax={np.abs(Ez).max():.3e} "
               f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
+        return front
+
+    def save_window():
+        if window:
+            import json as _json
+
+            (args.out / "window.json").write_text(
+                _json.dumps(list(model.cfg.z_corridor)))
 
     T = args.T
     t_wall = time.perf_counter()
@@ -182,11 +221,39 @@ def main():
         if (state.n_accepted % args.report_every == 0
                 and state.n_accepted != n_last):
             now = time.perf_counter()
-            report(state, now - t_wall, state.n_accepted - n_last)
+            front = report(state, now - t_wall, state.n_accepted - n_last)
             t_wall, n_last = now, state.n_accepted
+            # moving window: re-center once the front nears the leading
+            # (low-z) third of the fine corridor
+            z_lo = model.cfg.z_corridor[0]
+            if (window and np.isfinite(front) and z_lo > 0.0
+                    and front < z_lo + 0.35 * span):
+                new_corr = window_corr(front)
+                print(f"REMESH: window {model.cfg.z_corridor} -> "
+                      f"{new_corr} (front at {front:.4e})", flush=True)
+                new_model = StreamerModel(StreamerConfig(
+                    dtype=jnp.float32, newton=nc,
+                    **{**common, "z_corridor": new_corr}))
+                new_model.system.use_gather_scatter()
+                state = model.remap_state(new_model, state)
+                model = new_model
+                driver = AdaptiveDriver(
+                    model.system, monitor_idx=1, ttol=model.cfg.ttol,
+                    dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
+                    error_log=args.out / "relative error.log",
+                    crash_checkpoint=args.out / "crash.npz",
+                    post_accept=model.floor_projection(),
+                    verbose=args.verbose)
+                coords = model.space.dof_coords
+                axis = np.isclose(coords[:, 0], 0.0)
+                z_axis = coords[axis, 1]
+                save_checkpoint(ckpt, state)
+                save_window()
+                last_saved = state.n_accepted
         if (state.n_accepted % args.checkpoint_every == 0
                 and state.n_accepted != last_saved):
             save_checkpoint(ckpt, state)
+            save_window()
             last_saved = state.n_accepted
             # keep a trail of stiff-regime restart points
             if state.n_accepted % (10 * args.checkpoint_every) == 0:
