@@ -162,9 +162,12 @@ def main():
 
     n_dofs = model.space.n_dofs
     print(f"devices: {jax.devices()}", flush=True)
-    print(f"mesh: {n_dofs} dofs ({3 * n_dofs} unknowns), dz={args.dz:g}, "
+    corr = model.cfg.z_corridor
+    print(f"mesh: {n_dofs} dofs ({3 * n_dofs} unknowns), "
+          f"z_corridor=({corr[0]:.4e},{corr[1]:.4e},dz={corr[2]:g})"
+          f"{' [moving]' if window else ''}, "
           f"stab={args.stab}, precond={args.precond}, "
-          f"dtype={'f64' if args.f64 else 'f32+escalation'}", flush=True)
+          f"dtype={'f64' if args.f64 else 'f32'}", flush=True)
 
     driver = AdaptiveDriver(
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
