@@ -77,6 +77,11 @@ def _stiff_bench():
         # annular-rim stall (round-6 A/B, docs/STREAMER_STUDY.md)
         extra = dict(r_corridor=(2e-3, 2e-5), stab_mode="off")
     else:
+        # LEGACY fallback (best-effort): without the f64 escalation system
+        # this f32-only path can occasionally walk dt to dt_min on the old
+        # dz=2e-5 checkpoint (round-2 measurement); only stall-acceptance
+        # (accept_reduction) stands in the way. Kept runnable for older
+        # asset sets, not a supported bench configuration.
         ckpt, dz = CKPT_LEGACY, 2e-5
         nc = NewtonConfig(rtol=3e-3, max_iter=20, linear_tol=1e-4,
                           linear_maxiter=400, accept_reduction=3e-2,
@@ -138,6 +143,11 @@ def _stiff_bench():
         "newton_krylov_s_per_step": elapsed / attempts,
         "accepted": accepted,
         "attempts": attempts,
+        # self-describing basis (round-2 advisor): the headline is the
+        # MEDIAN per-advance rate over n_steps advances; mean_rate is the
+        # environment-inclusive (tunnel stalls and all) number
+        "n_steps": n_steps,
+        "basis": "median_step",
         "regime": f"stiff mid-run restart at t={state.t:.3e}",
     }
 
@@ -189,7 +199,7 @@ def main():
         "newton_krylov_s_per_step": res["newton_krylov_s_per_step"],
         "regime": res["regime"],
     }
-    for k in ("mean_rate", "median_step_s"):
+    for k in ("mean_rate", "median_step_s", "n_steps", "basis"):
         if k in res:
             out[k] = res[k]
     print(json.dumps(out))

@@ -122,6 +122,28 @@ class CellBatch:
     gather_idx = None  # optional ELL scatter metadata [n_blocks, n_dofs, v]
     _meta_blocks = 1
 
+    # -- geometry-as-arguments support ---------------------------------------
+    # The coordinate-DERIVED float arrays (everything that changes when mesh
+    # node positions move while the topology stays fixed). Threading these
+    # through jitted functions as ARGUMENTS instead of closed-over constants
+    # is what makes the moving-window remesh zero-recompile
+    # (model/system.CoupledSystem.enable_geom_mode): a window move swaps
+    # arrays of identical shapes, and the compiled executable is reused.
+    # `dofs`/`gather_idx`/`_structured` stay static — topology.
+
+    _GEOM_FIELDS = ("grads", "scale", "x_q", "h", "h_dir")
+
+    def geom(self) -> tuple:
+        return tuple(getattr(self, f) for f in self._GEOM_FIELDS)
+
+    def with_geom(self, arrays: tuple) -> "CellBatch":
+        import copy
+
+        view = copy.copy(self)
+        for f, a in zip(self._GEOM_FIELDS, arrays):
+            setattr(view, f, a)
+        return view
+
     @property
     def SHARD_FIELDS(self):
         if self.gather_idx is not None:
@@ -448,6 +470,14 @@ class FacetBatch:
     local_view = CellBatch.local_view
     pad_to = CellBatch.pad_to
     build_scatter_meta = CellBatch.build_scatter_meta
+    # geometry-as-arguments (see CellBatch): N varies with node positions
+    # here (facet quad points sit in cell reference coords that depend on
+    # which vertices the facet uses — topology — but grads/scale/x_q/normal
+    # all carry physical coordinates; N is topology-only, kept for safety
+    # at negligible cost)
+    _GEOM_FIELDS = ("N", "grads", "scale", "normal", "x_q")
+    geom = CellBatch.geom
+    with_geom = CellBatch.with_geom
 
     def gather(self, u: Array) -> Array:
         return u[self.dofs]

@@ -95,6 +95,8 @@ class CoupledSystem:
                     and batch.try_structured()):
                 batch.build_scatter_meta(batch._meta_blocks)
         self._step_jit = None
+        self._host_iter_jit = None
+        self._host_res0_jit = None
 
     # -- elliptic (Poisson-block) preconditioning ---------------------------
 
@@ -139,6 +141,10 @@ class CoupledSystem:
             return
         if mg is not None:
             self._ell = (eq, mg.precond)
+            if hasattr(mg, "precond_with"):
+                # geometry-functional preconditioner (StructuredPoissonMG):
+                # remembered so geom mode can thread its arrays through
+                self._ell_obj = mg
             self._step_jit = None
             return
 
@@ -530,6 +536,96 @@ class CoupledSystem:
 
     _ell = None  # optional (eq, chebyshev solver, jacobi diag)
 
+    # -- geometry-as-arguments mode ("geom mode") -----------------------------
+    #
+    # The zero-recompile remesh machinery (moving-window streamer,
+    # docs/STREAMER_STUDY.md): all coordinate-DERIVED device arrays — cell
+    # and facet quadrature tables, multigrid stencils/transfers/coarse
+    # inverse — are threaded through the jitted step functions as
+    # ARGUMENTS instead of closed-over constants. Moving the mesh nodes
+    # (same topology, same shapes) then swaps arrays under the SAME
+    # compiled executable; without this, every window move re-traces and
+    # re-compiles the full Newton-Krylov step (~4-6 min on the deployment
+    # TPU, dozens of times per production run).
+
+    _geom_mode = False
+    _geom = None
+    _ell_obj = None  # geometry-functional elliptic precond (precond_with)
+
+    def enable_geom_mode(self) -> None:
+        """Switch the step functions to geometry-as-arguments. Requires the
+        elliptic preconditioner (if any) to be geometry-functional
+        (`solvers.structured_mg.StructuredPoissonMG`)."""
+        if self._ell is not None and self._ell_obj is None:
+            raise ValueError(
+                "geom mode needs a geometry-functional elliptic "
+                "preconditioner (one with precond_with/geom, e.g. "
+                "solvers.structured_mg.StructuredPoissonMG)")
+        self._geom_mode = True
+        self._geom = self.collect_geom()
+        self._step_jit = None
+        self._host_iter_jit = None
+        self._host_res0_jit = None
+
+    def collect_geom(self) -> dict:
+        g = {"batches": tuple(b.geom() for b, _ in self._batches())}
+        if self._ell_obj is not None:
+            g["ell"] = self._ell_obj.geom()
+        return g
+
+    def update_geometry(self, geom: dict) -> None:
+        """Install new geometry arrays (identical pytree structure/shapes:
+        validated). The held batch objects are updated in place too, so
+        non-geom-mode consumers (initial Poisson, diagnostics) see the
+        new mesh as well. No recompilation results from this call."""
+        import jax.tree_util as jtu
+
+        if self._geom is not None:
+            old_s = jtu.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                 self._geom)
+            new_s = jtu.tree_map(lambda a: (a.shape, str(a.dtype)), geom)
+            assert old_s == new_s, (
+                "geometry update changed array shapes/dtypes — the "
+                "topology-preserving contract is broken")
+        self._geom = geom
+        for (b, _), arrs in zip(self._batches(), geom["batches"]):
+            for f, a in zip(b._GEOM_FIELDS, arrs):
+                setattr(b, f, a)
+        # non-geom-threaded auxiliary jits baked the old arrays as
+        # constants; drop them so they retrace on next use (diagnostics
+        # only — the step functions themselves are geometry-threaded)
+        self._guard_count_jit = None
+
+    def _geom_view(self, geom: dict) -> "CoupledSystem":
+        """Trace-time shallow copy with every geometry-bearing member
+        rebound to the arrays in `geom`."""
+        import copy
+
+        view = copy.copy(self)
+        batches = geom["batches"]
+        view.cell_batch = self.cell_batch.with_geom(batches[0])
+        view.facet_kernels = [
+            (b.with_geom(g), fn)
+            for (b, fn), g in zip(self.facet_kernels, batches[1:])]
+        if "ell" in geom:
+            eq = self._ell[0]
+            obj = self._ell_obj
+            view._ell = (eq, lambda r: obj.precond_with(geom["ell"], r))
+        return view
+
+    def _host_iter_geom(self, delta, fnorm, u_old, u_old1, aux, params,
+                        geom):
+        return self._geom_view(geom)._host_iter_impl(
+            delta, fnorm, u_old, u_old1, aux, params)
+
+    def _host_res0_geom(self, delta, u_old, u_old1, aux, params, geom):
+        return self._geom_view(geom)._host_res0_impl(
+            delta, u_old, u_old1, aux, params)
+
+    def _step_geom(self, u_guess, u_old, u_old1, aux, params, geom):
+        return self._geom_view(geom)._step(u_guess, u_old, u_old1, aux,
+                                           params)
+
     def block_precond_builder(self, u_old, d_hist, aux, params,
                               row_weights=None):
         """`row_weights` (optional [n_dofs, n_eq]): when the residual is
@@ -595,6 +691,28 @@ class CoupledSystem:
                       1.0 / rownorm, 1.0)
         # Dirichlet rows are identity rows in the residual — keep them
         return jnp.where(self.bcs.mask, 1.0, w).astype(rownorm.dtype)
+
+    _guard_count_jit = None
+
+    def guarded_block_count(self, u_old, u_old1, aux,
+                            params: StepParams) -> int:
+        """Diagnostic: how many node-block inverses needed the Jacobi
+        fallback at the current state (precond._guard). 0-to-a-handful =
+        the expected rare-underflow case; a systematic count signals an
+        assembly defect the silent guard would otherwise mask."""
+        def impl(u_old, u_old1, aux, params):
+            from ..solvers.precond import invert_blocks
+
+            (delta0, u_old_c, d_hist, aux_c, params_c,
+             _) = self._cast_inputs(u_old, u_old, u_old1, aux, params)
+            blocks = self._jacobian_blocks(delta0, u_old_c, d_hist, aux_c,
+                                           params_c)
+            _, n = invert_blocks(blocks, with_count=True)
+            return n
+
+        if self._guard_count_jit is None:
+            self._guard_count_jit = jax.jit(impl)
+        return int(self._guard_count_jit(u_old, u_old1, aux, params))
 
     def _step(self, u_guess, u_old, u_old1, aux, params: StepParams):
         (delta0, u_old_c, d_hist, aux_c, params_c,
@@ -703,9 +821,15 @@ class CoupledSystem:
 
         delta = (u_guess - u_old).astype(self.dtype)
         if self._host_iter_jit is None:
-            self._host_iter_jit = jax.jit(self._host_iter_impl)
-            self._host_res0_jit = jax.jit(self._host_res0_impl)
-        f0_norm = self._host_res0_jit(delta, u_old, u_old1, aux, params)
+            if self._geom_mode:
+                self._host_iter_jit = jax.jit(self._host_iter_geom)
+                self._host_res0_jit = jax.jit(self._host_res0_geom)
+            else:
+                self._host_iter_jit = jax.jit(self._host_iter_impl)
+                self._host_res0_jit = jax.jit(self._host_res0_impl)
+        extra = (self._geom,) if self._geom_mode else ()
+        f0_norm = self._host_res0_jit(delta, u_old, u_old1, aux, params,
+                                      *extra)
         f0 = float(f0_norm)
         cfgn = self.newton
         target = max(cfgn.rtol * f0, cfgn.atol)
@@ -717,7 +841,7 @@ class CoupledSystem:
             (delta, fnorm_a, linres_a, improved_a,
              step_ok_a) = self._host_iter_jit(
                 delta, jnp.asarray(fnorm, f0_norm.dtype), u_old, u_old1,
-                aux, params)
+                aux, params, *extra)
             fnorm = float(fnorm_a)
             linres = float(linres_a)
             step_ok = bool(step_ok_a)
@@ -740,5 +864,9 @@ class CoupledSystem:
                 and not self.row_scaled):
             return self._step_host(u_guess, u_old, u_old1, aux, params)
         if self._step_jit is None:
-            self._step_jit = jax.jit(self._step)
+            self._step_jit = jax.jit(
+                self._step_geom if self._geom_mode else self._step)
+        if self._geom_mode:
+            return self._step_jit(u_guess, u_old, u_old1, aux, params,
+                                  self._geom)
         return self._step_jit(u_guess, u_old, u_old1, aux, params)

@@ -112,6 +112,14 @@ class StreamerConfig:
     # [z0, z1] (where the ionisation front runs; alpha*dz <~ 1 needed to
     # resolve it), geometric coarsening outside. ny is then derived.
     z_corridor: Optional[tuple] = None
+    # FIXED-TOPOLOGY corridor tails (n_lo, n_hi): exactly n_lo geometric
+    # cells below the corridor and n_hi above, with the growth ratio
+    # solved per window position instead of the cell count. Every window
+    # position then yields the SAME node count and cell topology — the
+    # contract that makes the moving-window remesh zero-recompile
+    # (CoupledSystem.enable_geom_mode + move_window): only coordinate
+    # arrays change, shapes never do. Requires z_corridor with z0 > 0.
+    z_tail_cells: Optional[tuple] = None
     # optional r-corridor refinement (r1, dr): uniform dr on [0, r1] with
     # geometric coarsening out to box_width; nx is then derived. Radial
     # resolution at the axis must track the streamer head radius
@@ -229,10 +237,63 @@ class StreamerModel:
         return obj
 
     @staticmethod
+    def _geom_tail(span: float, dz: float, n: int) -> np.ndarray:
+        """`n` cell sizes growing geometrically away from a corridor edge
+        whose adjacent corridor cell is `dz`, covering exactly `span`:
+        sizes dz*r^1..dz*r^n with the ratio r solved by bisection (r < 1
+        when span < n*dz — tiny tails near a clamped domain edge are
+        allowed). The fixed COUNT (vs the fixed ratio of `_z_coords`) is
+        what keeps the moving-window topology constant."""
+        assert span > 0 and n >= 1
+        target = span / dz
+
+        def ssum(r):
+            return float(n) if abs(r - 1.0) < 1e-12 else r * (r**n - 1) / (r - 1)
+
+        lo, hi = 1e-9, 1e3
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if ssum(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        r = 0.5 * (lo + hi)
+        sizes = dz * r ** np.arange(1, n + 1)
+        return sizes * (span / sizes.sum())  # exact closure
+
+    @classmethod
+    def _z_coords_fixed(cls, cfg) -> np.ndarray:
+        """Fixed-topology corridor z-lines: n_lo + n_fine + n_hi cells for
+        EVERY window position (see `z_tail_cells`)."""
+        z0, z1, dz = cfg.z_corridor
+        n_lo, n_hi = cfg.z_tail_cells
+        assert z0 > 0, "fixed-topology corridor needs z0 > 0 (clamp the window)"
+        n_fine = int(round((z1 - z0) / dz))
+        # pad the FINE count so the total divides the MG 2:1 slicing; the
+        # pad depends only on the (constant) window span, not its position
+        div = 2 ** max(cfg.mg_levels - 1, 0)
+        n_fine += (-(n_lo + n_fine + n_hi)) % div
+        z1 = z0 + n_fine * dz
+        assert z1 < cfg.box_height, "padded corridor exceeds the domain"
+        lo_sizes = cls._geom_tail(z0, dz, n_lo)
+        lo = (z0 - np.cumsum(lo_sizes))[::-1]
+        lo[0] = 0.0
+        hi_sizes = cls._geom_tail(cfg.box_height - z1, dz, n_hi)
+        hi = z1 + np.cumsum(hi_sizes)
+        hi[-1] = cfg.box_height
+        fine = z0 + dz * np.arange(n_fine + 1)
+        zs = np.concatenate([lo, fine, hi])
+        assert len(zs) == n_lo + n_fine + n_hi + 1
+        assert np.all(np.diff(zs) > 0)
+        return zs
+
+    @staticmethod
     def _z_coords(cfg, ny=None) -> np.ndarray:
         if cfg.z_corridor is None:
             return _graded_coords(ny, cfg.box_height, cfg.grade,
                                   cfg.seed_z / cfg.box_height)
+        if cfg.z_tail_cells is not None:
+            return StreamerModel._z_coords_fixed(cfg)
         z0, z1, dz = cfg.z_corridor
         fine = np.arange(z0, z1 + 0.5 * dz, dz)
         n_lo = max(2, int(round(np.log(max(z0, dz) / dz) / np.log(1.12))))
@@ -335,6 +396,7 @@ class StreamerModel:
                         dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
 
+        self._smg = None
         if cfg.poisson_precond == "zline":
             from ..solvers.linesmoother import ZLineSmoother
 
@@ -343,6 +405,8 @@ class StreamerModel:
                                self.space.n_dofs, n_iter=cfg.zline_iters,
                                dtype=cfg.dtype)
             self.system.enable_elliptic_precond(2, solver=sm.solve)
+        elif cfg.mg_levels > 1 and self._try_structured_mg():
+            pass  # StructuredPoissonMG installed (self._smg)
         elif cfg.mg_levels > 1:
             from ..solvers.multigrid import GeometricMultigrid
 
@@ -380,6 +444,97 @@ class StreamerModel:
                 line_grids=line_grids)
             if mg is not None:
                 self.system.enable_elliptic_precond(2, mg=mg)
+
+    def _try_structured_mg(self) -> bool:
+        """Install the geometry-functional structured V-cycle
+        (solvers.structured_mg.StructuredPoissonMG) when the mesh is a
+        canonical tensor-product grid and the z-line flavour is requested.
+        Numerically the same cycle as the GeometricMultigrid('mg-zline')
+        path — assembled P1 stencils, PCR line smoothing, separable
+        transfers, dense coarse inverse — but with host-side (numpy)
+        stencil assembly and geometry threaded as jit arguments, the two
+        properties the zero-recompile moving window needs."""
+        cfg = self.cfg
+        if cfg.poisson_precond != "mg-zline":
+            return False
+        from ..solvers.stencil import canonical_node_grid
+        from ..solvers.structured_mg import StructuredPoissonMG
+
+        if canonical_node_grid(self.space) is None:
+            return False
+        xs = np.unique(self.mesh.coords[:, 0])
+        zs = np.unique(self.mesh.coords[:, 1])
+        mask_grid = np.zeros((len(xs), len(zs)), bool)
+        mask_grid[:, 0] = mask_grid[:, -1] = True  # cathode/anode z-lines
+        try:
+            smg = StructuredPoissonMG(xs, zs, mask_grid, cfg.mg_levels,
+                                      axisymmetric=True, dtype=cfg.dtype)
+        except AssertionError:
+            return False
+        self.system.enable_elliptic_precond(2, mg=smg)
+        self._smg = smg
+        return True
+
+    # -- moving window (zero-recompile remesh) --------------------------------
+
+    def move_window(self, new_corridor: tuple, state=None):
+        """Re-center the fine z-corridor WITHOUT recompiling: rebuild all
+        coordinate-derived geometry (cell/facet quadrature tables, MG
+        stencil hierarchy) on the host for the new window position — same
+        topology, same shapes — and swap it into the running system via
+        `CoupledSystem.update_geometry`. With `enable_geom_mode` active on
+        the system, the already-compiled Newton-Krylov step executes
+        unchanged on the new arrays.
+
+        Returns the remapped `state` (z-linear per-r-line interpolation,
+        see `remap_state`) or None when no state was passed. The driver,
+        the jitted step functions and the post-accept projection all
+        survive — a window move costs ~100 ms of host work."""
+        import dataclasses
+
+        cfg = self.cfg
+        assert cfg.z_tail_cells is not None, (
+            "move_window requires the fixed-topology generator "
+            "(StreamerConfig.z_tail_cells)")
+        zs_old = np.unique(self.mesh.coords[:, 1])
+        xs = np.unique(self.mesh.coords[:, 0])
+        new_cfg = dataclasses.replace(cfg, z_corridor=tuple(new_corridor))
+        zs_new = self._z_coords(new_cfg)
+        assert len(zs_new) == len(zs_old), (
+            "fixed-topology contract broken: window span changed?")
+
+        mesh = rectangle_mesh((0, 0), (cfg.box_width, cfg.box_height),
+                              len(xs) - 1, len(zs_new) - 1)
+        ux = np.unique(mesh.coords[:, 0])
+        uz = np.unique(mesh.coords[:, 1])
+        mesh.coords[:, 0] = np.interp(mesh.coords[:, 0], ux, xs)
+        mesh.coords[:, 1] = np.interp(mesh.coords[:, 1], uz, zs_new)
+        mesh = Mesh(mesh.coords, mesh.cells)
+        mark_boundaries(mesh, [
+            ["line", 0.0, 0.0, 0.0, cfg.box_width],
+            ["line", cfg.box_height, cfg.box_height, 0.0, cfg.box_width],
+            ["line", 0.0, cfg.box_height, 0.0, 0.0],
+            ["line", 0.0, cfg.box_height, cfg.box_width, cfg.box_width],
+        ])
+        space = FunctionSpace(mesh, 1)
+        batch = CellBatch(space, quad_degree=cfg.quad_degree,
+                          axisymmetric=True, dtype=cfg.dtype)
+        fb = FacetBatch(space, markers=[1, 2], quad_degree=cfg.quad_degree,
+                        axisymmetric=True, dtype=cfg.dtype)
+        geom = {"batches": (batch.geom(), fb.geom())}
+        if self._smg is not None:
+            geom["ell"] = self._smg.update_geometry(xs, zs_new)
+        self.system.update_geometry(geom)
+
+        # host-side references follow the new coordinates
+        self.mesh = mesh
+        self.space = space
+        self.batch.space = space
+        self.cfg = new_cfg
+
+        if state is None:
+            return None
+        return self._remap_z(state, zs_old, zs_new, len(xs))
 
     @staticmethod
     def _node_grid(space) -> np.ndarray:
@@ -535,8 +690,6 @@ class StreamerModel:
         exactly the P1 log-form representation both meshes use. History
         fields and controller state carry over unchanged, so the BDF2 +
         PID trajectory continues seamlessly."""
-        import dataclasses
-
         src_c = np.asarray(self.space.dof_coords)
         dst_c = np.asarray(dst_model.space.dof_coords)
         zs = np.unique(src_c[:, 1])
@@ -545,7 +698,14 @@ class StreamerModel:
         rd = np.unique(dst_c[:, 0])
         assert len(rs) == len(rd) and np.allclose(rs, rd), (
             "remap_state needs identical radial node lines")
-        n_r, n_eq = len(rs), self.n_eq
+        return self._remap_z(state, zs, zd, len(rs))
+
+    def _remap_z(self, state, zs: np.ndarray, zd: np.ndarray, n_r: int):
+        """z-linear per-r-line state interpolation from z-lines `zs` onto
+        `zd` (shared core of `remap_state` and `move_window`)."""
+        import dataclasses
+
+        n_eq = self.n_eq
         # node id = iz * n_r + ir (mesh/generators.py layout)
         i1 = np.clip(np.searchsorted(zs, zd), 1, len(zs) - 1)
         i0 = i1 - 1

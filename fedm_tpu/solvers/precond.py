@@ -15,11 +15,17 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def invert_blocks(A: Array, reg: float = 0.0) -> Array:
+def invert_blocks(A: Array, reg: float = 0.0, with_count: bool = False):
     """Invert a batch of small matrices A [n, k, k] elementwise-vectorised.
 
     reg: optional Tikhonov diagonal added before inversion (guards against
     exactly singular blocks on untouched dofs).
+    with_count: also return the number of blocks whose inverse came out
+    non-finite and was replaced by the Jacobi fallback (see `_guard`) —
+    the expected steady state is 0-to-a-handful (underflowed far-field
+    nodes); a systematic count is an assembly-defect signal that the
+    silent fallback would otherwise mask (round-2 advisor finding).
+    Exposed to runs via `CoupledSystem.guarded_block_count`.
     """
     k = A.shape[-1]
     if reg:
@@ -38,7 +44,10 @@ def invert_blocks(A: Array, reg: float = 0.0) -> Array:
         d = jnp.diagonal(A_orig, axis1=-2, axis2=-1)
         dinv = jnp.where((jnp.abs(d) > 0) & jnp.isfinite(d), 1.0 / d, 1.0)
         fb = dinv[..., :, None] * jnp.eye(k, dtype=A_orig.dtype)
-        return jnp.where(ok, inv, fb)
+        out = jnp.where(ok, inv, fb)
+        if with_count:
+            return out, (~ok).sum()
+        return out
     # Per-ROW equilibration (then the adjugate/Gauss-Jordan below runs on
     # O(1) entries): the coupled blocks mix rows of wildly different
     # physical scale — a density row is vol*n/dt ~ 1e19..1e30 at a

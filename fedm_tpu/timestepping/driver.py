@@ -10,7 +10,12 @@ recompile — SURVEY.md section 7 'dynamic control flow'):
   on the monitored component (LMEA -> electron energy density, index 0;
   LFA -> electron density, index -2; `functions.py:1056-1064`), appended to
   `relative error.log` in the reference's exact column format
-  (`functions.py:1067-1069`);
+  (`functions.py:1067-1069`). `monitor_idx` also accepts a tuple/list of
+  components — the controlled error is then the MAX over them — an
+  upgrade over the reference's single-variable monitor: a wild excursion
+  in an unmonitored species (measured: u_ion = -909 at one node while the
+  monitored electrons stayed smooth, docs/STREAMER_STUDY.md round 6) is
+  caught by CONTROL (dt shrink) instead of by after-the-fact guards;
 - error >= ttol: dt *= 0.5*ttol/error, reset, retry (`functions.py:1086`);
 - Newton failure: dt *= 0.5, reset, retry (`functions.py:1092`);
 - dt < dt_min: SystemExit (`functions.py:1099-1100`);
@@ -79,6 +84,7 @@ class AdaptiveDriver:
         post_accept: Optional[Callable] = None,
     ):
         self.system = system
+        # int (reference semantics) or tuple/list of components (max-over)
         self.monitor_idx = monitor_idx
         self.ttol = ttol
         self.dt_min = dt_min
@@ -139,6 +145,16 @@ class AdaptiveDriver:
             msg += f" Last good state saved to {self.crash_checkpoint}."
         raise SystemExit(msg)
 
+    def _monitor_error(self, u_new, u_old):
+        """Step error on the monitored component(s): the reference's
+        single-variable norm (`fedm/functions.py:1056-1064`) for an int
+        monitor, the max over components for a tuple/list monitor."""
+        idx = self.monitor_idx
+        if isinstance(idx, int):
+            return step_error_norm(u_new[:, idx], u_old[:, idx])
+        errs = [step_error_norm(u_new[:, i], u_old[:, i]) for i in idx]
+        return jnp.max(jnp.stack(errs))
+
     def _log_error(self, err: float, dt_old: float, dt: float) -> None:
         if self.error_log is None:
             return
@@ -191,11 +207,7 @@ class AdaptiveDriver:
                           f"{float(info.res_norm):.3e} "
                           f"linres={float(info.lin_relres):.2e}", flush=True)
             if bool(info.converged):
-                err = float(
-                    step_error_norm(
-                        u_new[:, self.monitor_idx], u_old[:, self.monitor_idx]
-                    )
-                )
+                err = float(self._monitor_error(u_new, u_old))
                 if self.verbose:
                     print(f"  step error = {err:.3e} (ttol {self.ttol:g})",
                           flush=True)

@@ -1,0 +1,124 @@
+"""Zero-recompile moving-window machinery:
+
+- fixed-topology corridor generator (`StreamerConfig.z_tail_cells`):
+  identical node counts for every window position;
+- `StructuredPoissonMG`: host-assembled stencil hierarchy matches the
+  operator and preconditions it well;
+- geom mode (`CoupledSystem.enable_geom_mode` + `move_window`): stepping
+  after a window move on the SAME compiled system reproduces a freshly
+  built model at the new window, with zero retraces of the step fns.
+
+Reference tie-in: the reference has no moving mesh at all — its flagship
+streamer (`/root/reference/examples/streamer_discharge/fedm-streamer.py:67`,
+T=14 ns) relies on an externally supplied globally-fine `mesh.xml`; the
+window is how the TPU build reaches the same horizon at a constant DOF
+count.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fedm_tpu  # noqa: F401
+from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+from fedm_tpu.solvers.newton import NewtonConfig
+
+SPAN = 1.5e-3
+DZ = 5e-5
+BASE = dict(r_corridor=(2e-3, 2e-4), z_tail_cells=(12, 12), mg_levels=3,
+            poisson_precond="mg-zline", dtype=jnp.float32,
+            density_floor=1e13)
+
+
+def _cfg(z0, **kw):
+    nc = NewtonConfig(rtol=1e-3, max_iter=20, linear_tol=1e-4,
+                      linear_maxiter=200, accept_reduction=3e-2,
+                      host_loop=True, hi_residual=True)
+    return StreamerConfig(z_corridor=(z0, z0 + SPAN, DZ), newton=nc,
+                          **{**BASE, **kw})
+
+
+def test_fixed_topology_generator():
+    zs = {}
+    for z0 in (8.5e-3, 6.0e-3, 3.3e-3, 1e-4):
+        zs[z0] = StreamerModel._z_coords(_cfg(z0))
+        assert zs[z0][0] == 0.0
+        assert zs[z0][-1] == pytest.approx(0.0125)
+        assert np.all(np.diff(zs[z0]) > 0)
+    counts = {len(v) for v in zs.values()}
+    assert len(counts) == 1, "node count must be window-position-invariant"
+    # the corridor carries at least span/dz consecutive cells of exactly dz
+    z = zs[6.0e-3]
+    n_dz = np.isclose(np.diff(z), DZ).sum()
+    assert n_dz >= int(round(SPAN / DZ))
+
+
+def test_structured_mg_matches_operator():
+    """The host-assembled stencil IS the masked Laplacian: one V-cycle
+    must precondition A to a contraction (relres << 1)."""
+    m = StreamerModel(_cfg(7e-3))
+    assert m._smg is not None, "StructuredPoissonMG should engage on mg-zline"
+    A = m.system.masked_stiffness_op(2)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(m.space.n_dofs), m.batch.dtype)
+    x = m._smg.precond(b)
+    relres = float(jnp.linalg.norm(b - A(x)) / jnp.linalg.norm(b))
+    assert relres < 0.35, relres
+
+
+def test_move_window_zero_recompile_equivalence():
+    """Step, move the window, step again on the SAME system/driver; a
+    freshly built model at the new window and the remapped state must
+    produce the same next step — and the step functions must not have
+    been re-jitted by the move."""
+    mA = StreamerModel(_cfg(8.5e-3))
+    mA.system.use_gather_scatter()
+    mA.system.enable_geom_mode()
+    drv = mA.make_driver()
+    s = mA.initial_state()
+    s = drv.advance(s, {})
+    s = drv.advance(s, {})
+
+    iter_jit_before = mA.system._host_iter_jit
+    new_corr = (6.0e-3, 6.0e-3 + SPAN, DZ)
+    s_pre = s
+    s_moved = mA.move_window(new_corr, s_pre)
+    assert mA.system._host_iter_jit is iter_jit_before, (
+        "move_window must not invalidate the compiled step")
+    s3 = drv.advance(s_moved, {})
+
+    # fresh reference build at the new window, fed the SAME pre-move state
+    # remapped through an unmoved twin of the original model (bitwise
+    # comparison: both paths then run identical math on identical data)
+    mA0 = StreamerModel(_cfg(8.5e-3))
+    mB = StreamerModel(_cfg(6.0e-3))
+    mB.system.use_gather_scatter()
+    mB.system.enable_geom_mode()
+    sB = mA0.remap_state(mB, s_pre)
+    s3B = mB.make_driver().advance(sB, {})
+
+    assert s3.t == pytest.approx(s3B.t)
+    du = np.abs(np.asarray(s3.u) - np.asarray(s3B.u)).max()
+    assert du == 0.0, f"moved-window step diverges from fresh build: {du}"
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    """Corridor metadata travels INSIDE the checkpoint npz (round-2
+    advisor fix: the split checkpoint/window.json pair could desync)."""
+    from fedm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from fedm_tpu.timestepping import TimeState
+
+    u = jnp.asarray(np.random.default_rng(1).standard_normal((10, 3)))
+    st = TimeState(u=u, u_old=u, u_old1=u, t=1e-9, dt=2e-12, dt_old=1e-12,
+                   max_error=[1e-4, 2e-4, 3e-4], n_accepted=5, n_rejected=2)
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, st, meta={"z_corridor": (6e-3, 7.5e-3, 2.5e-6)})
+    st2, meta = load_checkpoint(p, with_meta=True)
+    assert np.allclose(meta["z_corridor"], (6e-3, 7.5e-3, 2.5e-6))
+    assert st2.t == st.t and st2.n_accepted == 5
+    np.testing.assert_array_equal(np.asarray(st2.u), np.asarray(st.u))
+    # legacy checkpoints (no meta) load fine
+    save_checkpoint(p, st)
+    st3, meta3 = load_checkpoint(p, with_meta=True)
+    assert meta3 == {} and st3.n_rejected == 2

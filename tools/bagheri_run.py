@@ -67,6 +67,10 @@ def main():
                          "eval per Newton iteration")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics")
+    ap.add_argument("--diag-guards", action="store_true",
+                    help="report the guarded-preconditioner-block count "
+                         "each report interval (precond._guard fallback "
+                         "visibility; one extra compile at first report)")
     ap.add_argument("--no-fallback", action="store_true",
                     help="f32 only: skip the emulated-f64 escalation system "
                          "(measured to crash the tunneled TPU worker on the "
@@ -99,29 +103,51 @@ def main():
     from fedm_tpu.solvers.newton import NewtonConfig
 
     window = args.window_dz is not None
+    ckpt = args.out / "checkpoint.npz"
     if window:
         assert args.no_fallback and not args.f64, (
             "--window-dz is the f32 production path: pass --no-fallback")
         span = args.window_span
+        # fixed-topology window (StreamerConfig.z_tail_cells): every
+        # position has the same node count, so a window move is a pure
+        # geometry-array swap under the already-compiled step
+        # (CoupledSystem.enable_geom_mode — zero recompiles)
+        Z_LO_MIN = 1e-4   # clamp: tails must keep positive extent
+        Z_HI_MAX = 1.19e-2
 
         def window_corr(front):
-            z_lo = max(front - 0.6 * span, 0.0)
-            z_hi = min(front + 0.4 * span, 1.08e-2)
+            z_lo = front - 0.6 * span
+            z_hi = front + 0.4 * span
+            if z_hi > Z_HI_MAX:            # shift, never shrink: constant span
+                z_lo, z_hi = Z_HI_MAX - span, Z_HI_MAX
+            if z_lo < Z_LO_MIN:
+                z_lo, z_hi = Z_LO_MIN, Z_LO_MIN + span
             return (z_lo, z_hi, args.window_dz)
 
         corridor = window_corr(1e-2)  # initial front = the seed position
-        # the checkpoint stores fields, not the mesh: a side-car records
-        # the corridor the checkpointed state lives on
-        wfile = args.out / "window.json"
-        if args.resume and wfile.exists():
-            import json as _json
+        # the corridor the checkpointed state lives on travels INSIDE the
+        # checkpoint (meta entry) — the split window.json sidecar could
+        # desync from the state on a mid-write kill (round-2 advisor)
+        if args.resume and ckpt.exists():
+            from fedm_tpu.io.checkpoint import load_checkpoint as _lc
 
-            corridor = tuple(_json.loads(wfile.read_text()))
+            _, meta = _lc(ckpt, with_meta=True)
+            if "z_corridor" in meta:
+                corridor = tuple(float(v) for v in meta["z_corridor"])
+            else:
+                # legacy checkpoint: fall back to the window.json sidecar
+                wfile = args.out / "window.json"
+                if wfile.exists():
+                    import json as _json
+
+                    corridor = tuple(_json.loads(wfile.read_text()))
     else:
         corridor = (0.0, 1.08e-2, args.dz)
     common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
                   poisson_precond=args.precond, T_final=args.T,
                   row_scaled=args.row_scaled)
+    if window:
+        common["z_tail_cells"] = (48, 48)
     if args.dr is not None:
         common["r_corridor"] = (args.r1, args.dr)
     if not args.no_floor:
@@ -159,6 +185,8 @@ def main():
                                      mesh=model.mesh)
             fallback.system.use_gather_scatter()
     model.system.use_gather_scatter()
+    if window:
+        model.system.enable_geom_mode()
 
     n_dofs = model.space.n_dofs
     print(f"devices: {jax.devices()}", flush=True)
@@ -177,7 +205,6 @@ def main():
         crash_checkpoint=args.out / "crash.npz",
         post_accept=model.floor_projection(), verbose=args.verbose)
 
-    ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
         state = load_checkpoint(ckpt)
         print(f"resumed from {ckpt}: t={state.t:.4e}, "
@@ -198,14 +225,26 @@ def main():
         order = np.argsort(z_axis)
         phi = u[axis, 2][order]
         Ez = -np.gradient(phi, z_axis[order])
+        guards = ""
+        if args.diag_guards:
+            from fedm_tpu.model.system import StepParams as _SP
+            n_g = model.system.guarded_block_count(
+                state.u, state.u_old, {},
+                _SP(jnp.asarray(state.t), jnp.asarray(state.dt),
+                    jnp.asarray(state.dt_old)))
+            guards = f" n_guarded={n_g}"
         print(f"t={state.t:.4e} dt={state.dt:.3e} steps={state.n_accepted} "
               f"rej={state.n_rejected} esc={driver.n_escalated} "
               f"ne_max={ne_axis.max():.3e} front_z={front:.4e} "
-              f"Emax={np.abs(Ez).max():.3e} "
+              f"Emax={np.abs(Ez).max():.3e}{guards} "
               f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
         return front
 
+    def ckpt_meta():
+        return ({"z_corridor": model.cfg.z_corridor} if window else None)
+
     def save_window():
+        # human-readable sidecar only; resume reads the checkpoint meta
         if window:
             import json as _json
 
@@ -227,44 +266,38 @@ def main():
             front = report(state, now - t_wall, state.n_accepted - n_last)
             t_wall, n_last = now, state.n_accepted
             # moving window: re-center once the front nears the leading
-            # (low-z) third of the fine corridor
+            # (low-z) third of the fine corridor — a zero-recompile
+            # geometry swap (StreamerModel.move_window): same compiled
+            # step, same driver, ~100 ms of host work
             z_lo = model.cfg.z_corridor[0]
-            if (window and np.isfinite(front) and z_lo > 0.0
+            if (window and np.isfinite(front)
                     and front < z_lo + 0.35 * span):
                 new_corr = window_corr(front)
-                print(f"REMESH: window {model.cfg.z_corridor} -> "
-                      f"{new_corr} (front at {front:.4e})", flush=True)
-                new_model = StreamerModel(StreamerConfig(
-                    dtype=jnp.float32, newton=nc,
-                    **{**common, "z_corridor": new_corr}))
-                new_model.system.use_gather_scatter()
-                state = model.remap_state(new_model, state)
-                model = new_model
-                driver = AdaptiveDriver(
-                    model.system, monitor_idx=1, ttol=model.cfg.ttol,
-                    dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
-                    error_log=args.out / "relative error.log",
-                    crash_checkpoint=args.out / "crash.npz",
-                    post_accept=model.floor_projection(),
-                    verbose=args.verbose)
-                coords = model.space.dof_coords
-                axis = np.isclose(coords[:, 0], 0.0)
-                z_axis = coords[axis, 1]
-                save_checkpoint(ckpt, state)
-                save_window()
-                last_saved = state.n_accepted
+                if abs(new_corr[0] - z_lo) > 1e-12:
+                    print(f"REMESH: window {model.cfg.z_corridor} -> "
+                          f"{new_corr} (front at {front:.4e})", flush=True)
+                    t_rm = time.perf_counter()
+                    state = model.move_window(new_corr, state)
+                    print(f"REMESH done in "
+                          f"{time.perf_counter() - t_rm:.2f}s", flush=True)
+                    coords = model.space.dof_coords
+                    axis = np.isclose(coords[:, 0], 0.0)
+                    z_axis = coords[axis, 1]
+                    save_checkpoint(ckpt, state, meta=ckpt_meta())
+                    save_window()
+                    last_saved = state.n_accepted
         if (state.n_accepted % args.checkpoint_every == 0
                 and state.n_accepted != last_saved):
-            save_checkpoint(ckpt, state)
+            save_checkpoint(ckpt, state, meta=ckpt_meta())
             save_window()
             last_saved = state.n_accepted
             # keep a trail of stiff-regime restart points
             if state.n_accepted % (10 * args.checkpoint_every) == 0:
                 save_checkpoint(
                     args.out / f"checkpoint_{state.n_accepted:06d}.npz",
-                    state)
+                    state, meta=ckpt_meta())
 
-    save_checkpoint(ckpt, state)
+    save_checkpoint(ckpt, state, meta=ckpt_meta())
     report(state, time.perf_counter() - t_wall,
            state.n_accepted - n_last)
     done = state.t >= T * (1 - 1e-12)

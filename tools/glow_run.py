@@ -10,7 +10,7 @@ discharge diagnostics are recorded.
 
 Usage (TPU or CPU):
   python tools/glow_run.py --out /tmp/glow [--nx 64] [--T 5e-5]
-      [--resume] [--f32] [--checkpoint-every 200]
+      [--resume] [--f32] [--checkpoint-every 100]
 """
 
 import argparse
@@ -37,7 +37,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--f32", action="store_true",
                     help="f32 compute with f64 escalation fallback")
-    ap.add_argument("--checkpoint-every", type=int, default=200)
+    # 100 (was 200): a tunnel-hang kill costs at most ~100 steps
+    # of recompute (round-2 post-mortem lost 379 steps to cadence)
+    ap.add_argument("--checkpoint-every", type=int, default=100)
     ap.add_argument("--report-every", type=int, default=50)
     ap.add_argument("--max-steps", type=int, default=200000)
     ap.add_argument("--file-input", type=Path, default=REF_INPUT)
@@ -126,6 +128,11 @@ def main():
                 and state.n_accepted != last_saved):
             save_checkpoint(ckpt, state)
             last_saved = state.n_accepted
+            # periodic restart-point trail (forensics + re-bench assets)
+            if state.n_accepted % (20 * args.checkpoint_every) == 0:
+                save_checkpoint(
+                    args.out / f"checkpoint_{state.n_accepted:06d}.npz",
+                    state)
 
     save_checkpoint(ckpt, state)
     report(state, time.perf_counter() - t_wall, state.n_accepted - n_last)
