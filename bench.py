@@ -69,7 +69,13 @@ def _stiff_bench():
         # with trajectory errors identical to the 3rd digit (both are
         # ttol-guarded; with the f64-defect Newton 1e-3 sits ~1e5 above
         # the noise floor)
-        nc = NewtonConfig(rtol=1e-3, max_iter=20, linear_tol=1e-4,
+        # linear_tol 3e-2: inexact-Newton forcing-term A/B on this very
+        # checkpoint+window (tools/ab_lintol.py, round 3): 1e-4 spends 28
+        # Krylov iterations/solve converging to 8e-5 — 10x beyond what the
+        # rtol=1e-3 outer target uses. Measured 3.49 -> 2.24 s/advance
+        # (1e-4 -> 3e-2) at +0.45 Newton iters/attempt, 0 rejects, ttol
+        # step errors identical to 3 digits, same front position.
+        nc = NewtonConfig(rtol=1e-3, max_iter=20, linear_tol=3e-2,
                           linear_maxiter=400, accept_reduction=3e-2,
                           host_loop=True, hi_residual=True)
         # stab off: plain Galerkin like the reference — the Peclet
