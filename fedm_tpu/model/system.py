@@ -260,16 +260,46 @@ class CoupledSystem:
                              "(CellBatch.set_structured/try_structured)")
         self.gspmd = (device_mesh, axis)
         self._step_jit = None
+        self._host_iter_jit = None
+        self._host_res0_jit = None
         return NamedSharding(device_mesh, P(axis))
 
     def _gspmd_constrain(self, x):
+        """Anchor `x`'s dof axis to the z-slab layout. Tensor-product
+        corridor meshes have ODD node counts (MG hierarchies need 2^k+1
+        coordinate lines), which an even device count cannot tile — and
+        XLA silently REPLACES a non-divisible explicit sharding with
+        replication, de-sharding the whole step. So for non-divisible
+        sizes the anchor is pad -> constrain -> slice: the constraint
+        sits on a divisible intermediate, GSPMD propagates the tiled
+        layout through the slice (internally padded, measured: compute
+        stays at n/8 rows per device), and only jit entry/exit points
+        fall back to replication of the ~MB-scale state."""
         if self.gspmd is None:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh, axis = self.gspmd
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P(axis)))
+        sh = NamedSharding(mesh, P(axis))
+        pad = (-x.shape[0]) % mesh.shape[axis]
+        if pad == 0:
+            return jax.lax.with_sharding_constraint(x, sh)
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jax.lax.with_sharding_constraint(jnp.pad(x, widths),
+                                                sh)[:x.shape[0]]
+
+    def place_state(self, x):
+        """Place a state array on the GSPMD mesh: an explicit even
+        z-slab `device_put` when the dof count divides, otherwise leave
+        placement to the step's internal anchors (`_gspmd_constrain`)."""
+        if self.gspmd is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self.gspmd
+        if x.shape[0] % mesh.shape[axis] == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return x
 
     def shard(self, device_mesh, axis: str = "space") -> None:
         """Distribute element/facet work over `device_mesh[axis]` — the
@@ -799,12 +829,25 @@ class CoupledSystem:
               if self.use_block_precond else None)
         R_hi = (self._make_hi_residual(u_old, u_old1, aux, params)
                 if self._hi_enabled() else None)
+        if self.gspmd is not None:
+            # pin the z-slab layout at every residual boundary (as _step
+            # does) so GSPMD keeps Krylov vectors sharded end-to-end —
+            # this is what lets the PRODUCTION host-loop Newton run
+            # multi-chip instead of falling back to the whole-step jit
+            delta = self._gspmd_constrain(delta)
+            R_b, R_hi_b = R, R_hi
+            R = lambda d: self._gspmd_constrain(
+                R_b(self._gspmd_constrain(d)))
+            if R_hi_b is not None:
+                R_hi = lambda d: self._gspmd_constrain(
+                    R_hi_b(self._gspmd_constrain(d)))
         return newton_iteration(R, delta, fnorm, self.newton, pb,
                                 residual_hi=R_hi)
 
     def _host_res0_impl(self, delta, u_old, u_old1, aux, params):
         from ..solvers.linear import _norm
 
+        delta = self._gspmd_constrain(delta)
         if self._hi_enabled():
             return _norm(self._make_hi_residual(u_old, u_old1, aux,
                                                 params)(delta))
@@ -857,11 +900,11 @@ class CoupledSystem:
     def step(self, u_guess, u_old, u_old1, aux, params: StepParams):
         """One attempted nonlinear solve at (t, dt). Jitted on first call;
         dt/dt_old/t are traced so the adaptive driver never recompiles.
-        With `NewtonConfig.host_loop` (single-chip, non-row-scaled,
-        non-GSPMD) the nonlinear loop runs on the host instead — see
-        `_step_host`."""
-        if (self.newton.host_loop and self.gspmd is None
-                and not self.row_scaled):
+        With `NewtonConfig.host_loop` (non-row-scaled; single-chip OR
+        GSPMD-sharded — the host loop's per-iteration executions carry
+        the z-slab sharding end-to-end) the nonlinear loop runs on the
+        host instead — see `_step_host`."""
+        if self.newton.host_loop and not self.row_scaled:
             return self._step_host(u_guess, u_old, u_old1, aux, params)
         if self._step_jit is None:
             self._step_jit = jax.jit(

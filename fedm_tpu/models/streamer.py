@@ -496,6 +496,14 @@ class StreamerModel:
         assert cfg.z_tail_cells is not None, (
             "move_window requires the fixed-topology generator "
             "(StreamerConfig.z_tail_cells)")
+        if self._smg is None and getattr(self.system, "_ell", None) is not None:
+            raise RuntimeError(
+                "move_window would keep STALE geometry: an elliptic "
+                "preconditioner is installed but it is not the geometry-"
+                "functional StructuredPoissonMG (its engagement needs "
+                "cell counts divisible by 2**(mg_levels-1) in BOTH r and "
+                "z) — Newton directions after the move would silently "
+                "stop reducing the residual")
         zs_old = np.unique(self.mesh.coords[:, 1])
         xs = np.unique(self.mesh.coords[:, 0])
         new_cfg = dataclasses.replace(cfg, z_corridor=tuple(new_corridor))

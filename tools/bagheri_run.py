@@ -59,6 +59,10 @@ def main():
                     help="disable the far-field background density floor")
     ap.add_argument("--rtol", type=float, default=None,
                     help="override Newton rtol")
+    ap.add_argument("--linear-tol", type=float, default=1e-4,
+                    help="inner Krylov relative tolerance (inexact-Newton "
+                         "forcing term; the ttol error control guards the "
+                         "physics either way)")
     ap.add_argument("--hi-res", action="store_true",
                     help="mixed-precision Newton: f64-emulated residual "
                          "defect + f32 Krylov correction "
@@ -89,6 +93,13 @@ def main():
     ap.add_argument("--window-span", type=float, default=1.5e-3,
                     help="window length [m] (60%% ahead of the front, "
                          "40%% behind)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="GSPMD z-slab sharding over the first N devices: "
+                         "the PRODUCTION structured stack (slice/pad "
+                         "assembly, mg-zline V-cycle, host-loop Newton) "
+                         "runs multi-chip — the reference's `mpirun -np N` "
+                         "launch mode (/root/reference/README.md:66). Odd "
+                         "dof counts shard via internal pad/slice anchors.")
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
 
@@ -157,7 +168,7 @@ def main():
         # executions, and the emulated-f64 whole-step program is the
         # longest one (docs/STREAMER_STUDY.md round 5)
         nc = NewtonConfig(rtol=args.rtol or 1e-3, max_iter=20,
-                          linear_tol=1e-4, linear_maxiter=400,
+                          linear_tol=args.linear_tol, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
                           host_loop=True)
         model = StreamerModel(StreamerConfig(newton=nc, **common))
@@ -172,7 +183,7 @@ def main():
         # vs res0/800 at dz=2e-5 — measured; see NewtonConfig docstring)
         nc = NewtonConfig(rtol=args.rtol or (1e-3 if args.hi_res else 3e-3),
                           max_iter=20,
-                          linear_tol=1e-4, linear_maxiter=400,
+                          linear_tol=args.linear_tol, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=3e-2, host_loop=True,
                           hi_residual=args.hi_res)
@@ -187,6 +198,19 @@ def main():
     model.system.use_gather_scatter()
     if window:
         model.system.enable_geom_mode()
+    sharding = None
+    if args.devices > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        assert len(devs) >= args.devices, (
+            f"--devices {args.devices} but only {len(devs)} present "
+            "(virtual CPU meshes: XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu)")
+        dev_mesh = Mesh(np.array(devs[:args.devices]), ("space",))
+        sharding = model.system.use_gspmd(dev_mesh)
+        if fallback is not None:
+            fallback.system.use_gspmd(dev_mesh)
 
     n_dofs = model.space.n_dofs
     print(f"devices: {jax.devices()}", flush=True)
@@ -211,6 +235,13 @@ def main():
               f"{state.n_accepted} steps", flush=True)
     else:
         state = model.initial_state()
+    if sharding is not None:
+        # production corridor meshes have odd dof counts (2^k+1 coordinate
+        # lines) — place_state falls back to the step's internal pad ->
+        # constrain -> slice anchors when an even device_put cannot tile
+        state.u = model.system.place_state(state.u)
+        state.u_old = model.system.place_state(state.u_old)
+        state.u_old1 = model.system.place_state(state.u_old1)
 
     coords = model.space.dof_coords
     axis = np.isclose(coords[:, 0], 0.0)
