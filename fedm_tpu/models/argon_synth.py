@@ -297,3 +297,131 @@ def generate_argon8_input(base: Path, model: str = "argon_synth8") -> Path:
     _write_lut(tc / "electrons_ND.dat", "electron diffusion",
                "Umean [eV]  N*D", "Umean", eps, n_d_electron(eps))
     return root
+
+
+# -- parameterised N-species scheme (BASELINE.json config #5 scale) -----------
+
+def generate_argon_n_input(base: Path, n_excited: int = 13,
+                           model: str = None) -> Path:
+    """Write a TENS-OF-SPECIES synthetic argon tree: `n_excited` excited
+    levels + ground + excimer + atomic/molecular ions + electrons =
+    n_excited + 5 species — the scale-out configuration class of
+    BASELINE.json ("streamer with extended He/air reaction scheme, tens
+    of species") in the reference's exact on-disk formats. Level names
+    are zero-padded (`Ar[L01]`) so the reaction parser's substring-count
+    convention (`chemistry.parsers.reaction_matrices`, mirroring the
+    reference `fedm/file_io.py:486-487`) cannot alias levels.
+
+    Per level k: electron-impact excitation from ground, stepwise
+    ionisation, deexcitation, radiative loss; plus the 8-species model's
+    chemoionisation, excimer/ion conversion, dissociative recombination
+    and elastic energy loss. All rate/transport files go through the same
+    LUT pipeline as the 4/8-species trees.
+    """
+    n_excited = int(n_excited)
+    assert n_excited >= 1
+    if model is None:
+        model = f"argon_synth{n_excited + 5}"
+    base = Path(base)
+    root = base / model
+    (root / "rate_coefficients").mkdir(parents=True, exist_ok=True)
+    (root / "transport_coefficients").mkdir(exist_ok=True)
+    (root / "species").mkdir(exist_ok=True)
+
+    levels = [f"L{k + 1:02d}" for k in range(n_excited)]
+    names = (["Ar[1p0]"] + [f"Ar[{lv}]" for lv in levels]
+             + ["Ar2[*]", "Ar[+]", "Ar2[+]", "e"])
+    files = (["Ar_1p0.cfg"] + [f"Ar_{lv}.cfg" for lv in levels]
+             + ["Ar2_star.cfg", "Ar_plus.cfg", "Ar2_plus.cfg",
+                "electrons.cfg"])
+    n_sp = len(names)
+    spec = ["# species list (parameterised synthetic argon model, "
+            f"{n_sp} species)"]
+    spec += [f"{n:<12}file: {f}" for n, f in zip(names, files)]
+    spec += ["", f"nInd = {list(range(n_excited + 2))}",
+             f"iInd = [{n_sp - 3}, {n_sp - 2}]", f"eInd = {n_sp - 1}"]
+    (root / "speclist.cfg").write_text("\n".join(spec) + "\n")
+
+    rx = [f"# parameterised argon model: {n_excited} excited levels"]
+    kfiles = {}
+    eps = np.geomspace(0.01, 100.0, 200)
+    for k, lv in enumerate(levels):
+        # staggered thresholds walking up toward the 15.76 eV continuum
+        U_ex = 11.55 + 4.0 * k / max(n_excited, 1)
+        U_io = 15.76 - U_ex
+        sc = 1.0 / (1.0 + 0.35 * k)
+        kfiles[f"k_ex_{lv}.dat"] = sc * k_excitation(eps) * np.exp(
+            -(U_ex - 11.55) / np.maximum(eps, 1e-3))
+        kfiles[f"k_io_{lv}.dat"] = (1.0 + 0.1 * k) * k_stepwise_ionization(eps)
+        kfiles[f"k_dx_{lv}.dat"] = sc * k_deexcitation(eps)
+        rx.append(f"Ar[1p0] + e -> Ar[{lv}] + e  Type: ex    "
+                  f"Uin: {U_ex:.2f}  Qfile: Q1.dat  kfile: k_ex_{lv}.dat")
+        rx.append(f"Ar[{lv}] + e -> Ar[+] + e + e  Type: io    "
+                  f"Uin: {U_io:.2f}  Qfile: Q2.dat  kfile: k_io_{lv}.dat")
+        rx.append(f"Ar[{lv}] + e -> Ar[1p0] + e  Type: deex  "
+                  f"Uin: -{U_ex:.2f}  Qfile: Q3.dat  kfile: k_dx_{lv}.dat")
+        rx.append(f"Ar[{lv}]  -> 0  Type: loss  Uin: 0  "
+                  f"Qfile: Q8.dat  kfile: k_lifetime.dat")
+    L1 = levels[0]
+    rx += [
+        f"Ar[1p0] + e -> Ar[+] + e + e  Type: io  Uin: 15.76  "
+        f"Qfile: Q2.dat  kfile: k_io_gs.dat",
+        f"Ar[{L1}] + Ar[{L1}] -> Ar[+] + e + Ar[1p0]  Type: chio  "
+        f"Uin: -7.34  Qfile: Q5.dat  kfile: k_chio.dat",
+        f"Ar[{L1}] + Ar[1p0] + Ar[1p0] -> Ar2[*] + Ar[1p0]  Type: conv  "
+        f"Uin: 0  Qfile: Q6.dat  kfile: k_excimer.dat",
+        "Ar[+] + Ar[1p0] + Ar[1p0] -> Ar2[+] + Ar[1p0]  Type: conv  "
+        "Uin: 0  Qfile: Q6.dat  kfile: k_conv.dat",
+        f"Ar2[+] + e -> Ar[{L1}] + Ar[1p0]  Type: rec  Uin: -2.66  "
+        "Qfile: Q7.dat  kfile: k_rec.dat",
+        "Ar2[*] + e -> Ar2[+] + e + e  Type: io  Uin: 3.66  "
+        "Qfile: Q4.dat  kfile: k_io_x.dat",
+        "Ar2[*]  -> 0  Type: loss  Uin: 0  Qfile: Q8.dat  "
+        "kfile: k_lifetime.dat",
+        "",
+        "# electron energy loss by elastic collisions",
+        "Ar[1p0] + e -> Ar[1p0] + e  Type: el  Uin: 1.0  "
+        "Qfile: Q1.dat  kfile: Pelastic.dat",
+    ]
+    (root / "reacscheme.cfg").write_text("\n".join(rx) + "\n")
+
+    for f, (z, mass, nmom) in zip(
+            files,
+            [("0", M_AR, 3)] + [("0", M_AR, 2)] * n_excited
+            + [("0", 2 * M_AR, 2), ("1", M_AR - me, 2),
+               ("1", 2 * M_AR - me, 2), ("-1", float(me), 3)]):
+        (root / "species" / f).write_text(
+            f"Z    = {z}\nMass = {mass}\nNmom = {nmom}\n")
+
+    rc = root / "rate_coefficients"
+    kfiles["k_io_gs.dat"] = k_ionization(eps)
+    kfiles["k_io_x.dat"] = 1.4 * k_stepwise_ionization(eps)
+    kfiles["k_rec.dat"] = 8.5e-13 * np.maximum(eps, 1e-3) ** -0.67
+    kfiles["Pelastic.dat"] = p_elastic(eps)
+    for name, ky in kfiles.items():
+        _write_lut(rc / name, name, "Umean [eV]  k", "Umean", eps, ky)
+    _write_const(rc / "k_chio.dat", "chemoionisation", "const", K_CHEMO)
+    _write_const(rc / "k_excimer.dat", "excimer formation", "const", 1.1e-43)
+    _write_const(rc / "k_conv.dat", "ion conversion", "const", 2.5e-43)
+    _write_const(rc / "k_lifetime.dat", "radiative loss", "const",
+                 K_LIFETIME)
+
+    tc = root / "transport_coefficients"
+    red = np.geomspace(0.1, 2000.0, 120)
+    _write_const(tc / "Ar_1p0_ND.dat", "background", "const", 0.0)
+    for k, lv in enumerate(levels):
+        _write_const(tc / f"Ar_{lv}_ND.dat", "metastable diffusion",
+                     "const", N_D_ARSTAR / (1.0 + 0.1 * k))
+    _write_const(tc / "Ar2_star_ND.dat", "excimer diffusion", "const",
+                 0.5 * N_D_ARSTAR)
+    for sp, scale in (("Ar_plus", 1.0), ("Ar2_plus", 1.15)):
+        _write_lut(tc / f"{sp}_Nb.dat", "ion mobility", "E/N [Td]  N*b",
+                   "E/N", red, scale * n_mu_ion(red))
+        with open(tc / f"{sp}_ND.dat", "w") as f:
+            f.write(_HEADER.format(desc="ion diffusion (Einstein relation)",
+                                   data="ESR", dep="ESR"))
+    _write_lut(tc / "electrons_Nb.dat", "electron mobility",
+               "Umean [eV]  N*b", "Umean", eps, n_mu_electron(eps))
+    _write_lut(tc / "electrons_ND.dat", "electron diffusion",
+               "Umean [eV]  N*D", "Umean", eps, n_d_electron(eps))
+    return root
