@@ -1,5 +1,7 @@
 """Scale proof for the DOF-partitioned domain decomposition: step a
-streamer mesh ~8x the bench mesh (56k unknowns) on an 8-device mesh.
+large streamer mesh (default 280x560 -> ~473k unknowns, ~8x the round-1
+56k-unknown bench mesh) on an 8-device mesh, with per-step timing and
+halo metadata printed for the scaling record (docs/DESIGN.md).
 
 Run on a host without 8 chips via virtual CPU devices:
 
