@@ -470,9 +470,82 @@ class CoupledSystem:
         eye_rows = jnp.eye(self.n_eq, dtype=delta.dtype)[None]
         return jnp.where(self.bcs.mask[:, :, None], eye_rows, blocks)
 
-    def _local_blocks(self, batches, delta, u_old, d_hist, aux, params):
+    # -- transport z-line preconditioning -------------------------------------
+
+    _tzline = None  # (eqs tuple, node_grid [n_i, n_j], n_i)
+
+    def enable_transport_zline(self, eqs, node_grid) -> None:
+        """Per-z-line tridiagonal preconditioning of TRANSPORT rows
+        (drift-diffusion equations) on canonical tensor-product grids,
+        complementing the elliptic V-cycle on the Poisson row: the
+        node-block Jacobi preconditioner captures the stiff inter-species
+        chemistry coupling but none of the spatial coupling, so the strong
+        z-direction advection-diffusion of the monitored species costs
+        Krylov iterations. The exact sub/super z-couplings come for free
+        from the element Jacobians the block build already computes
+        (`_local_blocks(zline_eqs=...)`); each preconditioner application
+        adds one batched PCR tridiagonal solve per selected equation.
+
+        `eqs`: equation indices with transport (e.g. (1,) for the
+        streamer's electrons — its ions are reaction-only);
+        `node_grid`: [n_i, n_j] dof-id grid (`StreamerModel._node_grid`)."""
+        import numpy as np
+
+        grid = np.asarray(node_grid)
+        self._tzline = (tuple(int(e) for e in eqs), jnp.asarray(grid),
+                        int(grid.shape[0]))
+        self._zline_mask_cache = None
+        self._step_jit = None
+        self._host_iter_jit = None
+        self._host_res0_jit = None
+
+    def _jacobian_blocks_zline(self, delta, u_old, d_hist, aux, params):
+        """(blocks, (sub, sup)) with Dirichlet rows masked; non-SPMD only
+        (the DD path keeps its own distributed machinery)."""
+        assert self.spmd is None, "transport zline: not on the DD path"
+        eqs = self._tzline[0]
+        blocks, (sub, sup) = self._local_blocks(
+            list(self._batches()), delta, u_old, d_hist, aux, params,
+            zline_eqs=eqs)
+        eye_rows = jnp.eye(self.n_eq, dtype=delta.dtype)[None]
+        blocks = jnp.where(self.bcs.mask[:, :, None], eye_rows, blocks)
+        row_mask = jnp.stack([self.bcs.mask[:, e] for e in eqs], axis=-1)
+        sub = jnp.where(row_mask, 0.0, sub)
+        sup = jnp.where(row_mask, 0.0, sup)
+        return blocks, (sub, sup)
+
+    def _tzline_solver(self, blocks, sub, sup):
+        """r [n_dofs, n_sel] -> per-z-line tridiagonal solves using the
+        exact (sub, diag, sup) z-couplings; diag from the node blocks."""
+        from ..solvers.linesmoother import tridiag_solve_pcr
+
+        eqs, grid, _ = self._tzline
+
+        def solve(r):
+            outs = []
+            for k, e in enumerate(eqs):
+                a = sub[:, k][grid]
+                b = blocks[:, e, e][grid]
+                c = sup[:, k][grid]
+                x = tridiag_solve_pcr(a, b, c, r[:, k][grid])
+                out = jnp.zeros(self.n_dofs, x.dtype)
+                outs.append(out.at[grid.reshape(-1)].set(x.reshape(-1)))
+            return jnp.stack(outs, axis=-1)
+
+        return solve
+
+    def _local_blocks(self, batches, delta, u_old, d_hist, aux, params,
+                      zline_eqs=None):
+        """Exact per-dof diagonal blocks; with `zline_eqs` (tuple of
+        equation indices) ALSO extracts, from the same element Jacobians,
+        the z-neighbor scalar couplings J[(row),(row -/+ n_i)][eq,eq] of
+        the CELL batch — the sub/super diagonals of the per-z-line
+        tridiagonal transport operator (`enable_transport_zline`).
+        Returns blocks or (blocks, (sub, sup)) with sub/sup
+        [n_dofs, len(zline_eqs)]."""
         blocks = jnp.zeros((self.n_dofs, self.n_eq, self.n_eq), delta.dtype)
-        for batch, kernel in batches:
+        zcoup = None
+        for bi, (batch, kernel) in enumerate(batches):
             ctx = self._make_ctx(batch, u_old, d_hist, aux, params)
             u_e = batch.gather(delta)
             n_local = u_e.shape[1]
@@ -496,7 +569,39 @@ class CoupledSystem:
             # ELL gather+sum / segment-sum) for the [n_elems, nl, ne, ne]
             # same-node blocks exactly as for residual contributions
             blocks = blocks + batch.scatter(diag)
+            if zline_eqs is not None and bi == 0:
+                # J[a_in, e_in, c, b_out, e_out]: z-neighbor masks are
+                # static topology (m_sub[c,b,a] = dofs[c,a]==dofs[c,b]-n_i)
+                m_sub, m_sup = self._zline_masks(batch)
+                per_eq = []
+                for e in zline_eqs:
+                    Jee = J[:, e, :, :, e]  # [a_in, n_elems, b_out]
+                    per_eq.append(jnp.stack(
+                        [jnp.einsum("cba,acb->cb", m_sub, Jee),
+                         jnp.einsum("cba,acb->cb", m_sup, Jee)], axis=-1))
+                # [n_elems, nl, n_sel, 2] -> scatter -> [n_dofs, n_sel, 2]
+                zc = batch.scatter(jnp.stack(per_eq, axis=2))
+                zcoup = (zc[..., 0], zc[..., 1])
+        if zline_eqs is not None:
+            return blocks, zcoup
         return blocks
+
+    _zline_mask_cache = None
+
+    def _zline_masks(self, batch):
+        """Static [n_elems, nl, nl] masks of local-node pairs (b_out, a_in)
+        whose dof ids differ by exactly -/+ n_i (the z-neighbor stride of
+        the canonical tensor-product grid)."""
+        if self._zline_mask_cache is None:
+            import numpy as np
+
+            n_i = self._tzline[2]
+            dofs = np.asarray(batch.dofs)  # [n_elems, nl]
+            d = dofs[:, :, None] - dofs[:, None, :]  # [c, b, a]
+            dt = batch.dtype
+            self._zline_mask_cache = (jnp.asarray(d == n_i, dt),
+                                      jnp.asarray(d == -n_i, dt))
+        return self._zline_mask_cache
 
     def _local_row_l1(self, batches, delta, u_old, d_hist, aux, params):
         """Assembled TRUE Jacobian l1 row norms (upper bound):
@@ -665,20 +770,42 @@ class CoupledSystem:
         from ..solvers.precond import block_apply, invert_blocks
 
         def build(delta):
-            blocks = self._jacobian_blocks(delta, u_old, d_hist, aux, params)
+            # not on the DD path (own machinery) and not under row
+            # equilibration (the tridiagonal is assembled unscaled)
+            tz = (self._tzline
+                  if self.spmd is None and row_weights is None else None)
+            if tz is not None:
+                blocks, (sub, sup) = self._jacobian_blocks_zline(
+                    delta, u_old, d_hist, aux, params)
+                tz_solve = self._tzline_solver(blocks, sub, sup)
+            else:
+                blocks = self._jacobian_blocks(delta, u_old, d_hist, aux,
+                                               params)
+                tz_solve = None
             if row_weights is not None:
                 blocks = row_weights[:, :, None] * blocks
             inv = invert_blocks(blocks)
-            if self._ell is None:
+            if self._ell is None and tz_solve is None:
                 return lambda r: block_apply(inv, r)
-            eq, ell_solve = self._ell
 
             def M(r):
                 y = block_apply(inv, r)
-                r_eq = r[:, eq]
-                if row_weights is not None:
-                    r_eq = r_eq / row_weights[:, eq]
-                return y.at[:, eq].set(ell_solve(r_eq))
+                if tz_solve is not None:
+                    # transport rows: exact per-z-line tridiagonal solve
+                    # (advection-diffusion along the strong direction)
+                    # replaces the node-local answer, as the V-cycle does
+                    # for the Poisson row
+                    r_t = jnp.stack([r[:, e] for e in tz[0]], axis=-1)
+                    y_t = tz_solve(r_t)
+                    for k, e in enumerate(tz[0]):
+                        y = y.at[:, e].set(y_t[:, k])
+                if self._ell is not None:
+                    eq, ell_solve = self._ell
+                    r_eq = r[:, eq]
+                    if row_weights is not None:
+                        r_eq = r_eq / row_weights[:, eq]
+                    y = y.at[:, eq].set(ell_solve(r_eq))
+                return y
 
             return M
 

@@ -108,6 +108,14 @@ class StreamerConfig:
     #   'zline'    single-level z-line Richardson (no hierarchy)
     poisson_precond: str = "mg"
     zline_iters: int = 2          # Richardson sweeps for 'zline'
+    # per-z-line tridiagonal preconditioning of the ELECTRON transport row
+    # (CoupledSystem.enable_transport_zline): the node-block Jacobi
+    # preconditioner captures the chemistry coupling but none of the
+    # spatial advection-diffusion coupling along z, which otherwise costs
+    # Krylov iterations in the stiff regime. Exact sub/super couplings
+    # extracted from the element Jacobians the block build already
+    # computes. Requires a canonical tensor-product mesh.
+    transport_zline: bool = False
     # optional z-corridor refinement (z0, z1, dz): uniform dz inside
     # [z0, z1] (where the ionisation front runs; alpha*dz <~ 1 needed to
     # resolve it), geometric coarsening outside. ny is then derived.
@@ -395,6 +403,18 @@ class StreamerModel:
                         quad_degree=cfg.quad_degree, axisymmetric=True,
                         dtype=cfg.dtype)
         self.system.add_facet_kernel(fb, self._electrode_kernel)
+
+        if cfg.transport_zline:
+            from ..solvers.stencil import canonical_node_grid
+
+            assert canonical_node_grid(self.space) is not None, (
+                "transport_zline needs a canonical tensor-product mesh")
+            # electrons (eq 1); ions are reaction-only in the Bagheri
+            # scheme (fedm-streamer.py:49). _node_grid is [n_r, n_z] with
+            # id = iz*n_r + ir: lines along the last (z) axis, z-neighbor
+            # dof stride n_r = grid.shape[0].
+            self.system.enable_transport_zline(
+                (1,), self._node_grid(self.space))
 
         self._smg = None
         if cfg.poisson_precond == "zline":

@@ -11,6 +11,9 @@ outer iteration is self-correcting. This measures step cost, Newton
 iterations, rejections and trajectory agreement across forcing terms.
 
 Usage: python tools/ab_lintol.py [tol ...]   (default 1e-4 3e-3 1e-2)
+       AB_TZLINE=1 adds the transport z-line preconditioner (round-3
+       lever: exact per-z-line tridiagonal solve on the electron row,
+       StreamerConfig.transport_zline) to every variant.
 """
 
 import os
@@ -26,7 +29,7 @@ ROOT = Path(__file__).resolve().parent.parent
 CKPT = ROOT / "bench_assets" / "bagheri_dz1e-5_ckpt.npz"
 
 
-def run(linear_tol: float, n_adv: int):
+def run(linear_tol: float, n_adv: int, tzline: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +44,8 @@ def run(linear_tol: float, n_adv: int):
     cfg = StreamerConfig(dtype=jnp.float32, newton=nc, nx=96,
                          z_corridor=(0.0, 1.08e-2, 1e-5),
                          poisson_precond="mg-zline", density_floor=1e13,
-                         r_corridor=(2e-3, 2e-5), stab_mode="off")
+                         r_corridor=(2e-3, 2e-5), stab_mode="off",
+                         transport_zline=tzline)
     model = StreamerModel(cfg)
     model.system.use_gather_scatter()
     state = load_checkpoint(CKPT)
@@ -77,7 +81,7 @@ def run(linear_tol: float, n_adv: int):
     z_axis = coords[axis, 1]
     front = float(z_axis[ne_axis > 1e18].min())
     med = float(np.median(times))
-    print(f"linear_tol={linear_tol:g}: median {med:.3f}s/adv, "
+    print(f"linear_tol={linear_tol:g} tzline={int(tzline)}: median {med:.3f}s/adv, "
           f"{iters[0] / max(attempts, 1):.2f} Newton iters/attempt, "
           f"{state.n_rejected - rej0} rejects, t={state.t:.6e}, "
           f"dt={state.dt:.3e}, ne_max={ne_axis.max():.4e}, "
@@ -89,8 +93,9 @@ def run(linear_tol: float, n_adv: int):
 def main():
     tols = [float(t) for t in sys.argv[1:]] or [1e-4, 3e-3, 1e-2]
     n_adv = int(os.environ.get("AB_ADVANCES", "20"))
+    tzline = os.environ.get("AB_TZLINE", "0") == "1"
     for t in tols:
-        run(t, n_adv)
+        run(t, n_adv, tzline=tzline)
 
 
 if __name__ == "__main__":
