@@ -21,10 +21,15 @@ import time
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
+# force the virtual CPU mesh BEFORE any backend initialisation: this
+# deployment's ambient axon (TPU) plugin overrides JAX_PLATFORMS from the
+# environment, and jax.devices() freezes the platform choice
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 if len(jax.devices()) < 8:
-    print("needs 8 devices (set JAX_PLATFORM_NAME=cpu)")
+    print("needs 8 devices")
     sys.exit(1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -41,6 +41,11 @@ def main():
     # of recompute (round-2 post-mortem lost 379 steps to cadence)
     ap.add_argument("--checkpoint-every", type=int, default=100)
     ap.add_argument("--report-every", type=int, default=50)
+    ap.add_argument("--linear-tol", type=float, default=1e-4,
+                    help="inner Krylov relative tolerance (inexact-Newton "
+                         "forcing term; the streamer's round-3 A/B showed "
+                         "1e-4 is ~10x tighter than the Newton rtol needs "
+                         "— the ttol error control guards the physics)")
     ap.add_argument("--max-steps", type=int, default=200000)
     ap.add_argument("--file-input", type=Path, default=REF_INPUT)
     args = ap.parse_args()
@@ -64,15 +69,21 @@ def main():
         # control still guards the physical accuracy of every step.
         from fedm_tpu.solvers.newton import NewtonConfig
 
-        nc = NewtonConfig(rtol=5e-3, max_iter=20, linear_tol=1e-4,
-                          linear_maxiter=600)
+        nc = NewtonConfig(rtol=5e-3, max_iter=20,
+                          linear_tol=args.linear_tol, linear_maxiter=600)
         model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, newton=nc,
                                               **common))
         fallback = GlowDischargeModel(GlowConfig(**common))
         fallback.system.use_gather_scatter()
         fallback_system = fallback.system
     else:
+        from dataclasses import replace as _rep
+
+        from fedm_tpu.solvers.newton import NewtonConfig
+
         model = GlowDischargeModel(GlowConfig(**common))
+        model.system.newton = _rep(model.system.newton,
+                                   linear_tol=args.linear_tol)
         fallback_system = None
     model.system.use_gather_scatter()
 
