@@ -77,3 +77,47 @@ def test_zline_preconditioned_step_matches_baseline():
                                rtol=1e-7, atol=1e-9)
     # the line solve must not be WORSE than node-block Jacobi
     assert int(i1.iters) <= int(i0.iters)
+
+
+def test_zline_window_geom_mode_production_miniature():
+    """The production moving-window path (geom mode, host-loop hi-residual
+    Newton, mg-zline Poisson V-cycle) with transport_zline enabled: a
+    window move must not retrace, and the trajectory across the move must
+    match the baseline preconditioner's (tools/bagheri_run.py --tzline).
+
+    The move keeps the seed/front INSIDE the window, as the production
+    window-tracking invariant guarantees (60% ahead / 40% behind the
+    front). A move that strands the active region in the coarse tail is
+    out of contract — and measurably breaks the tzline preconditioner's
+    left-preconditioned convergence metric (see the tzline caveat in
+    docs/DESIGN.md)."""
+    SPAN, DZ = 1.5e-3, 5e-5
+
+    def run(tzline):
+        nc = NewtonConfig(rtol=1e-3, max_iter=20, linear_tol=1e-4,
+                          linear_maxiter=200, accept_reduction=3e-2,
+                          host_loop=True, hi_residual=True)
+        cfg = StreamerConfig(z_corridor=(9.1e-3, 9.1e-3 + SPAN, DZ),
+                             newton=nc, r_corridor=(2e-3, 2e-4),
+                             z_tail_cells=(12, 12), mg_levels=3,
+                             poisson_precond="mg-zline", dtype=jnp.float32,
+                             density_floor=1e13, transport_zline=tzline)
+        m = StreamerModel(cfg)
+        m.system.use_gather_scatter()
+        m.system.enable_geom_mode()
+        st = m.initial_state()
+        drv = m.make_driver()
+        st = drv.advance(st, {})
+        iter_jit = m.system._host_iter_jit
+        st = m.move_window((8.9e-3, 8.9e-3 + SPAN, DZ), st)
+        assert m.system._host_iter_jit is iter_jit, (
+            "window move must not invalidate the compiled step")
+        st = drv.advance(st, {})
+        return st
+
+    st0 = run(False)
+    st1 = run(True)
+    assert st1.n_accepted == st0.n_accepted == 2
+    assert np.isfinite(np.asarray(st1.u)).all()
+    np.testing.assert_allclose(np.asarray(st1.u), np.asarray(st0.u),
+                               rtol=5e-5, atol=1e-7)

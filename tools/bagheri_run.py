@@ -93,6 +93,13 @@ def main():
     ap.add_argument("--window-span", type=float, default=1.5e-3,
                     help="window length [m] (60%% ahead of the front, "
                          "40%% behind)")
+    ap.add_argument("--tzline", action="store_true",
+                    help="transport z-line preconditioning of the electron "
+                         "row (CoupledSystem.enable_transport_zline): exact "
+                         "tridiagonal solve on the z-direction advection-"
+                         "diffusion couplings, complementing mg-zline on "
+                         "the Poisson row — targets the Krylov-iteration "
+                         "cost of fine-dz window meshes")
     ap.add_argument("--devices", type=int, default=1,
                     help="GSPMD z-slab sharding over the first N devices: "
                          "the PRODUCTION structured stack (slice/pad "
@@ -163,6 +170,8 @@ def main():
         common["r_corridor"] = (args.r1, args.dr)
     if not args.no_floor:
         common["density_floor"] = 1e13  # = cfg.background
+    if args.tzline:
+        common["transport_zline"] = True
     if args.f64:
         # host_loop also for f64: the tunneled TPU kills long single XLA
         # executions, and the emulated-f64 whole-step program is the
