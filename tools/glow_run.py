@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--f32", action="store_true",
                     help="f32 compute with f64 escalation fallback")
+    ap.add_argument("--hi-res", action="store_true",
+                    help="with --f32: mixed-precision hi-residual Newton "
+                         "(f64-emulated defect + f32 Krylov, "
+                         "NewtonConfig.hi_residual — the streamer "
+                         "production fix for the f32 noise-floor stall; "
+                         "allows rtol=1e-3 at ~3 iters/step)")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-attempt Newton diagnostics from the driver")
     # 100 (was 200): a tunnel-hang kill costs at most ~100 steps
     # of recompute (round-2 post-mortem lost 379 steps to cadence)
     ap.add_argument("--checkpoint-every", type=int, default=100)
@@ -69,8 +77,22 @@ def main():
         # control still guards the physical accuracy of every step.
         from fedm_tpu.solvers.newton import NewtonConfig
 
-        nc = NewtonConfig(rtol=5e-3, max_iter=20,
-                          linear_tol=args.linear_tol, linear_maxiter=600)
+        if args.hi_res:
+            # Streamer-production Newton: the f64-emulated residual defect
+            # removes the f32 assembly noise floor entirely, so the
+            # standard rtol=1e-3 converges in ~3 iterations where the
+            # plain-f32 path stalls against the floor and burns
+            # max_iter x linear_maxiter (measured on this march: step
+            # cost 0.5 s -> ~30 s once the chemistry stiffened at
+            # ne ~ 3e11 m^-3). host_loop: one jitted call per Newton
+            # iteration — the tunneled TPU kills long XLA executions.
+            nc = NewtonConfig(rtol=1e-3, max_iter=20,
+                              linear_tol=args.linear_tol,
+                              linear_maxiter=600, hi_residual=True,
+                              host_loop=True)
+        else:
+            nc = NewtonConfig(rtol=5e-3, max_iter=20,
+                              linear_tol=args.linear_tol, linear_maxiter=600)
         model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, newton=nc,
                                               **common))
         fallback = GlowDischargeModel(GlowConfig(**common))
@@ -99,7 +121,7 @@ def main():
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
         error_log=args.out / "relative_error.log",
         fallback_system=fallback_system,
-        crash_checkpoint=args.out / "crash.npz")
+        crash_checkpoint=args.out / "crash.npz", verbose=args.verbose)
 
     ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
