@@ -45,6 +45,15 @@ def main():
                          "allows rtol=1e-3 at ~3 iters/step)")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics from the driver")
+    ap.add_argument("--no-fallback", action="store_true",
+                    help="with --f32: drop the emulated-f64 escalation "
+                         "system — Newton failures shrink dt instead. The "
+                         "whole-step emulated-f64 fallback program is the "
+                         "longest single XLA execution in the repo and the "
+                         "tunneled TPU kills long executions (measured on "
+                         "the 5e-5 march: reproducible 'TPU worker "
+                         "crashed' within minutes of escalations starting "
+                         "at ne~2e14; crash-free before them)")
     # 100 (was 200): a tunnel-hang kill costs at most ~100 steps
     # of recompute (round-2 post-mortem lost 379 steps to cadence)
     ap.add_argument("--checkpoint-every", type=int, default=100)
@@ -95,9 +104,12 @@ def main():
                               linear_tol=args.linear_tol, linear_maxiter=600)
         model = GlowDischargeModel(GlowConfig(dtype=jnp.float32, newton=nc,
                                               **common))
-        fallback = GlowDischargeModel(GlowConfig(**common))
-        fallback.system.use_gather_scatter()
-        fallback_system = fallback.system
+        if args.no_fallback:
+            fallback_system = None
+        else:
+            fallback = GlowDischargeModel(GlowConfig(**common))
+            fallback.system.use_gather_scatter()
+            fallback_system = fallback.system
     else:
         from dataclasses import replace as _rep
 
