@@ -82,6 +82,8 @@ class AdaptiveDriver:
         escalate_after_rejects: int = 2,
         crash_checkpoint: Optional[Path] = None,
         post_accept: Optional[Callable] = None,
+        fail_dt_cap: float = 0.0,
+        fail_cap_recovery: float = 1.05,
     ):
         self.system = system
         # int (reference semantics) or tuple/list of components (max-over)
@@ -131,6 +133,26 @@ class AdaptiveDriver:
         # density floor at the physical background, which bounds the
         # state's dynamic range on range-limited TPU arithmetic.
         self.post_accept = post_accept
+        # Solver-aware dt limiting (off when fail_dt_cap == 0, the
+        # reference's semantics). The reference's controller is blind to
+        # WHY a step was rejected: after a Newton failure it halves dt,
+        # converges a step or two later, and the PID — seeing only small
+        # accepted errors — walks dt straight back into the failing range.
+        # Measured on the Bagheri post-arrival sheath (runs/bagheri14,
+        # t > 13.07 ns): a strict period-2 limit cycle — PID proposes
+        # ~1.5e-12 s, Newton fails twice (each failed attempt burns
+        # max_iter x linear_maxiter Krylov iterations), dt collapses to
+        # exactly 0.25x, accepted, regrown — so HALF the attempts were
+        # full-cost failures and ~80% of wall time was wasted re-probing
+        # a dt the solver had just refused. With a cap: a Newton failure
+        # at dt_f bounds future controller proposals at
+        # `fail_dt_cap * dt_f`; each acceptance relaxes the bound by
+        # `fail_cap_recovery`, so the driver re-probes larger dt
+        # gradually instead of every other step (PETSc TS has the same
+        # safeguard in its adapt layer).
+        self.fail_dt_cap = fail_dt_cap
+        self.fail_cap_recovery = fail_cap_recovery
+        self._dt_cap = float("inf")
 
     def _die(self, state: TimeState, n_rejected: int, msg: str):
         if self.crash_checkpoint is not None:
@@ -221,6 +243,11 @@ class AdaptiveDriver:
                         dt, max_error, self.ttol, self.dt_min, self.dt_max,
                         dt_old=dt_old,
                     )
+                    if self.fail_dt_cap > 0.0 and self._dt_cap < float("inf"):
+                        new_dt = min(new_dt, self._dt_cap)
+                        self._dt_cap *= self.fail_cap_recovery
+                        if self._dt_cap >= self.dt_max:
+                            self._dt_cap = float("inf")  # fully relaxed
                     return TimeState(
                         u=u_new, u_old=u_old, u_old1=u_old1,
                         t=t_try, dt=new_dt, dt_old=dt,
@@ -232,6 +259,8 @@ class AdaptiveDriver:
                 n_rejected += 1
                 rejects_here += 1
             else:
+                if self.fail_dt_cap > 0.0:
+                    self._dt_cap = min(self._dt_cap, self.fail_dt_cap * dt)
                 dt = dt * 0.5
                 n_rejected += 1
                 rejects_here += 1

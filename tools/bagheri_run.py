@@ -100,6 +100,14 @@ def main():
                          "diffusion couplings, complementing mg-zline on "
                          "the Poisson row — targets the Krylov-iteration "
                          "cost of fine-dz window meshes")
+    ap.add_argument("--fail-dt-cap", type=float, default=0.0,
+                    help="solver-aware dt limiting (AdaptiveDriver."
+                         "fail_dt_cap): after a Newton failure at dt_f, "
+                         "cap controller proposals at fail_dt_cap*dt_f, "
+                         "relaxing 1.05x per acceptance. Breaks the "
+                         "post-arrival sheath's fail-twice-every-other-"
+                         "step limit cycle (runs/bagheri14). 0 = off "
+                         "(reference semantics); 0.7 is a good value")
     ap.add_argument("--devices", type=int, default=1,
                     help="GSPMD z-slab sharding over the first N devices: "
                          "the PRODUCTION structured stack (slice/pad "
@@ -236,7 +244,8 @@ def main():
         error_log=args.out / "relative error.log",
         fallback_system=None if fallback is None else fallback.system,
         crash_checkpoint=args.out / "crash.npz",
-        post_accept=model.floor_projection(), verbose=args.verbose)
+        post_accept=model.floor_projection(), verbose=args.verbose,
+        fail_dt_cap=args.fail_dt_cap)
 
     if args.resume and ckpt.exists():
         state = load_checkpoint(ckpt)

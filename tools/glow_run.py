@@ -63,6 +63,9 @@ def main():
                          "forcing term; the streamer's round-3 A/B showed "
                          "1e-4 is ~10x tighter than the Newton rtol needs "
                          "— the ttol error control guards the physics)")
+    ap.add_argument("--fail-dt-cap", type=float, default=0.0,
+                    help="solver-aware dt limiting after Newton failures "
+                         "(AdaptiveDriver.fail_dt_cap; 0 = off, 0.7 good)")
     ap.add_argument("--max-steps", type=int, default=200000)
     ap.add_argument("--file-input", type=Path, default=REF_INPUT)
     args = ap.parse_args()
@@ -133,7 +136,8 @@ def main():
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
         error_log=args.out / "relative_error.log",
         fallback_system=fallback_system,
-        crash_checkpoint=args.out / "crash.npz", verbose=args.verbose)
+        crash_checkpoint=args.out / "crash.npz", verbose=args.verbose,
+        fail_dt_cap=args.fail_dt_cap)
 
     ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
