@@ -1002,7 +1002,25 @@ class CoupledSystem:
                                       *extra)
         f0 = float(f0_norm)
         cfgn = self.newton
-        target = max(cfgn.rtol * f0, cfgn.atol)
+        predicted = u_guess is not u_old
+        if predicted:
+            # Predictor support (AdaptiveDriver.predictor): the SNES-style
+            # rtol target must stay anchored to the UNPREDICTED step
+            # residual ||R(0)|| — anchoring it to the (small) residual at
+            # a good extrapolated guess demands a reduction below the
+            # attainable floor and turns good steps into spurious
+            # failures (the measured reason the plain predictor was
+            # rejected in round 2 — see the AdaptiveDriver NOTE).
+            zero = jnp.zeros_like(delta)
+            f00 = float(self._host_res0_jit(zero, u_old, u_old1, aux,
+                                            params, *extra))
+            if not np.isfinite(f0) or f0 >= f00:
+                # unhelpful prediction (overshoot/NaN): fall back to u_old
+                delta, f0 = zero, f00
+            f0 = min(f0, f00)          # iterate starts at the better point
+            target = max(cfgn.rtol * f00, cfgn.atol)
+        else:
+            target = max(cfgn.rtol * f0, cfgn.atol)
         fnorm, k, linres, step_ok = f0, 0, float("inf"), False
         stalls = 0 if np.isfinite(f0) else 99
         while (fnorm > target and k < cfgn.max_iter

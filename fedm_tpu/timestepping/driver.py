@@ -84,6 +84,7 @@ class AdaptiveDriver:
         post_accept: Optional[Callable] = None,
         fail_dt_cap: float = 0.0,
         fail_cap_recovery: float = 1.05,
+        predictor: float = 0.0,
     ):
         self.system = system
         # int (reference semantics) or tuple/list of components (max-over)
@@ -153,6 +154,17 @@ class AdaptiveDriver:
         self.fail_dt_cap = fail_dt_cap
         self.fail_cap_recovery = fail_cap_recovery
         self._dt_cap = float("inf")
+        # Newton initial-guess predictor (0 = off, the reference's
+        # semantics — it starts every solve from u_old,
+        # `fedm/functions.py:1103`). With predictor = p, the guess is the
+        # BDF linear extrapolation u_old + p*(dt/dt_old)*(u_old - u_old1).
+        # The NOTE above records why the plain predictor was rejected in
+        # round 2: the SNES rtol target was anchored to the guess's own
+        # (small) residual. `CoupledSystem._step_host` now anchors the
+        # target to the unpredicted ||R(0)|| whenever a guess is supplied
+        # (falling back to u_old when the prediction doesn't reduce the
+        # residual), which removes that failure mode.
+        self.predictor = predictor
 
     def _die(self, state: TimeState, n_rejected: int, msg: str):
         if self.crash_checkpoint is not None:
@@ -208,7 +220,20 @@ class AdaptiveDriver:
                 if self.verbose:
                     print(f"Escalating precision for t = {t_try} "
                           f"(rejection-rate trigger)", flush=True)
-            u_new, info = solve_sys.step(u_old, u_old, u_old1, aux, params)
+            # predict only into the host-loop path: _step_host re-anchors
+            # the rtol target for a supplied guess; the whole-step jit
+            # path does not (round-2 failure mode) and gets u_old
+            pred_ok = (getattr(getattr(solve_sys, "newton", None),
+                               "host_loop", False)
+                       and not getattr(solve_sys, "row_scaled", False))
+            if self.predictor > 0.0 and pred_ok and 0.0 < dt_old < 1e29:
+                # distinct object from u_old: the system layer detects a
+                # supplied guess by identity and re-anchors its rtol target
+                ratio = min(dt / dt_old, 2.0)
+                u_guess = u_old + (self.predictor * ratio) * (u_old - u_old1)
+            else:
+                u_guess = u_old
+            u_new, info = solve_sys.step(u_guess, u_old, u_old1, aux, params)
             if self.verbose:
                 print(f"  newton: converged={bool(info.converged)} "
                       f"iters={int(info.iters)} "

@@ -100,6 +100,11 @@ def main():
                          "diffusion couplings, complementing mg-zline on "
                          "the Poisson row — targets the Krylov-iteration "
                          "cost of fine-dz window meshes")
+    ap.add_argument("--predictor", type=float, default=0.0,
+                    help="Newton initial-guess extrapolation factor "
+                         "(AdaptiveDriver.predictor; host-loop only). "
+                         "0 = off (reference starts from u_old); 1.0 = "
+                         "full BDF linear extrapolation")
     ap.add_argument("--fail-dt-cap", type=float, default=0.0,
                     help="solver-aware dt limiting (AdaptiveDriver."
                          "fail_dt_cap): after a Newton failure at dt_f, "
@@ -245,7 +250,7 @@ def main():
         fallback_system=None if fallback is None else fallback.system,
         crash_checkpoint=args.out / "crash.npz",
         post_accept=model.floor_projection(), verbose=args.verbose,
-        fail_dt_cap=args.fail_dt_cap)
+        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
 
     if args.resume and ckpt.exists():
         state = load_checkpoint(ckpt)

@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--fail-dt-cap", type=float, default=0.0,
                     help="solver-aware dt limiting after Newton failures "
                          "(AdaptiveDriver.fail_dt_cap; 0 = off, 0.7 good)")
+    ap.add_argument("--predictor", type=float, default=0.0,
+                    help="Newton initial-guess extrapolation factor "
+                         "(AdaptiveDriver.predictor; host-loop only)")
     ap.add_argument("--max-steps", type=int, default=200000)
     ap.add_argument("--file-input", type=Path, default=REF_INPUT)
     args = ap.parse_args()
@@ -137,7 +140,7 @@ def main():
         error_log=args.out / "relative_error.log",
         fallback_system=fallback_system,
         crash_checkpoint=args.out / "crash.npz", verbose=args.verbose,
-        fail_dt_cap=args.fail_dt_cap)
+        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
 
     ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
