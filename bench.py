@@ -106,10 +106,14 @@ def _stiff_bench():
           f"({state.n_accepted} steps in), {model.space.n_dofs} nodes, "
           f"{n_unknowns} unknowns on {jax.devices()[0]}", file=sys.stderr)
 
+    # FEDM_TPU_BENCH_PREDICTOR: A/B knob for the Newton initial-guess
+    # predictor (AdaptiveDriver.predictor, round-3 feature). Default off
+    # until a same-chip A/B shows a win at identical trajectories.
+    pred = float(os.environ.get("FEDM_TPU_BENCH_PREDICTOR", "0"))
     driver = AdaptiveDriver(
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
-        post_accept=model.floor_projection())
+        post_accept=model.floor_projection(), predictor=pred)
     # warm-up: compile (the persistent XLA cache usually absorbs this)
     # + settle the controller
     t0 = time.perf_counter()
