@@ -128,6 +128,17 @@ class StreamerConfig:
     # (CoupledSystem.enable_geom_mode + move_window): only coordinate
     # arrays change, shapes never do. Requires z_corridor with z0 > 0.
     z_tail_cells: Optional[tuple] = None
+    # WALL-CLUSTERED lower tail (sheath regime): when set, the n_lo cells
+    # below the corridor are built as a TWO-SIDED geometric tail — first
+    # cell `z_wall_dz` at the cathode wall (z=0) growing upward, last cell
+    # matching the corridor dz growing downward, meeting mid-span — instead
+    # of the default one-sided tail that COARSENS toward the wall. After
+    # the streamer head connects to the cathode the problem becomes a
+    # collapsing sheath with sub-um gradients AT z=0 (docs/BAGHERI14_RUN.md
+    # post-arrival regime); the default tail has its coarsest cells exactly
+    # there. Cell COUNT is unchanged for every window position, so the
+    # zero-recompile moving-window contract (z_tail_cells) still holds.
+    z_wall_dz: Optional[float] = None
     # optional r-corridor refinement (r1, dr): uniform dr on [0, r1] with
     # geometric coarsening out to box_width; nx is then derived. Radial
     # resolution at the axis must track the streamer head radius
@@ -270,6 +281,40 @@ class StreamerModel:
         return sizes * (span / sizes.sum())  # exact closure
 
     @classmethod
+    def _wall_tail(cls, span: float, dz: float, dz_wall: float,
+                   n: int) -> np.ndarray:
+        """`n` cell sizes covering exactly `span` between the wall (z=0)
+        and a corridor edge whose adjacent cell is `dz`, clustered at BOTH
+        ends: n1 = n//2 sizes dz_wall*g^0..g^(n1-1) growing away from the
+        wall plus n2 = n-n1 sizes dz*r^1..r^n2 growing away from the
+        corridor, with one shared ratio g = r solved by bisection on the
+        total span. Returned wall-to-corridor ordered. Ratios < 1 (span
+        smaller than the end cells can absorb) are allowed, mirroring
+        `_geom_tail`."""
+        assert span > 0 and n >= 2 and dz_wall > 0
+        n1 = n // 2
+        n2 = n - n1
+
+        def ssum(g):
+            if abs(g - 1.0) < 1e-12:
+                return dz_wall * n1 + dz * n2
+            return (dz_wall * (g**n1 - 1) / (g - 1)
+                    + dz * g * (g**n2 - 1) / (g - 1))
+
+        lo, hi = 1e-9, 1e3
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if ssum(mid) < span:
+                lo = mid
+            else:
+                hi = mid
+        g = 0.5 * (lo + hi)
+        wall = dz_wall * g ** np.arange(n1)
+        corr = dz * g ** np.arange(1, n2 + 1)
+        sizes = np.concatenate([wall, corr[::-1]])
+        return sizes * (span / sizes.sum())  # exact closure
+
+    @classmethod
     def _z_coords_fixed(cls, cfg) -> np.ndarray:
         """Fixed-topology corridor z-lines: n_lo + n_fine + n_hi cells for
         EVERY window position (see `z_tail_cells`)."""
@@ -283,9 +328,13 @@ class StreamerModel:
         n_fine += (-(n_lo + n_fine + n_hi)) % div
         z1 = z0 + n_fine * dz
         assert z1 < cfg.box_height, "padded corridor exceeds the domain"
-        lo_sizes = cls._geom_tail(z0, dz, n_lo)
-        lo = (z0 - np.cumsum(lo_sizes))[::-1]
-        lo[0] = 0.0
+        if cfg.z_wall_dz is not None:
+            lo_sizes = cls._wall_tail(z0, dz, cfg.z_wall_dz, n_lo)
+            lo = np.concatenate([[0.0], np.cumsum(lo_sizes)[:-1]])
+        else:
+            lo_sizes = cls._geom_tail(z0, dz, n_lo)
+            lo = (z0 - np.cumsum(lo_sizes))[::-1]
+            lo[0] = 0.0
         hi_sizes = cls._geom_tail(cfg.box_height - z1, dz, n_hi)
         hi = z1 + np.cumsum(hi_sizes)
         hi[-1] = cfg.box_height

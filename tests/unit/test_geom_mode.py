@@ -122,3 +122,45 @@ def test_checkpoint_meta_roundtrip(tmp_path):
     save_checkpoint(p, st)
     st3, meta3 = load_checkpoint(p, with_meta=True)
     assert meta3 == {} and st3.n_rejected == 2
+
+
+def test_wall_clustered_tail_geometry():
+    """`z_wall_dz` (sheath regime, docs/BAGHERI14_RUN.md post-arrival):
+    same node count as the default tail for every window position, first
+    cell at the wall ~ dz_wall instead of the default tail's coarsest-at-
+    the-wall shape, smooth meeting at the corridor edge."""
+    dz_wall = 1e-6
+    for z0 in (1e-4, 3.3e-3, 8.5e-3):
+        z_plain = StreamerModel._z_coords(_cfg(z0))
+        z_wall = StreamerModel._z_coords(_cfg(z0, z_wall_dz=dz_wall))
+        assert len(z_wall) == len(z_plain), (
+            "wall clustering must not change the corridor topology")
+        assert z_wall[0] == 0.0 and np.all(np.diff(z_wall) > 0)
+        # clustered: first cell within 2x of the requested wall size
+        # (exact-closure rescaling can stretch it slightly)
+        assert z_wall[1] - z_wall[0] < 2 * dz_wall, z_wall[:3]
+        # default tail is coarsest at the wall once the window is away
+        # from it; the clustered tail must beat it by >~10x there
+        if z0 > 1e-3:
+            assert (z_plain[1] - z_plain[0]) > 10 * (z_wall[1] - z_wall[0])
+        # the cell adjacent to the corridor edge stays within ~3x of dz
+        i = np.searchsorted(z_wall, z0) - 1
+        assert z_wall[i + 1] - z_wall[i] < 3 * DZ
+
+
+def test_wall_clustered_window_move_keeps_topology():
+    """A window move with `z_wall_dz` set keeps shapes (the zero-recompile
+    contract) and remaps the state onto the clustered geometry."""
+    m = StreamerModel(_cfg(8.5e-3, z_wall_dz=1e-6))
+    m.system.use_gather_scatter()
+    m.system.enable_geom_mode()
+    drv = m.make_driver()
+    s = drv.advance(m.initial_state(), {})
+    iter_jit = m.system._host_iter_jit
+    s2 = m.move_window((6.0e-3, 6.0e-3 + SPAN, DZ), s)
+    assert m.system._host_iter_jit is iter_jit
+    assert s2.u.shape == s.u.shape
+    zs = np.unique(m.mesh.coords[:, 1])
+    assert zs[1] - zs[0] < 2e-6, "wall clustering lost across the move"
+    s3 = drv.advance(s2, {})
+    assert np.isfinite(np.asarray(s3.u)).all()

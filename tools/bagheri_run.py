@@ -93,6 +93,11 @@ def main():
     ap.add_argument("--window-span", type=float, default=1.5e-3,
                     help="window length [m] (60%% ahead of the front, "
                          "40%% behind)")
+    ap.add_argument("--wall-dz", type=float, default=None,
+                    help="wall-clustered lower tail (StreamerConfig."
+                         "z_wall_dz): first cell size at the cathode for "
+                         "the post-arrival sheath regime; same topology, "
+                         "zero-recompile window moves preserved")
     ap.add_argument("--tzline", action="store_true",
                     help="transport z-line preconditioning of the electron "
                          "row (CoupledSystem.enable_transport_zline): exact "
@@ -179,6 +184,8 @@ def main():
                   row_scaled=args.row_scaled)
     if window:
         common["z_tail_cells"] = (48, 48)
+        if args.wall_dz is not None:
+            common["z_wall_dz"] = args.wall_dz
     if args.dr is not None:
         common["r_corridor"] = (args.r1, args.dr)
     if not args.no_floor:
