@@ -260,7 +260,23 @@ def main():
         fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
 
     if args.resume and ckpt.exists():
-        state = load_checkpoint(ckpt)
+        state, _meta = load_checkpoint(ckpt, with_meta=True)
+        # a checkpoint's state lives on the z-lines its writer's geometry
+        # flags produced; changing --wall-dz across a resume (same
+        # topology, different coordinates) would otherwise silently load
+        # the fields onto shifted nodes — remap along z instead
+        _src_wall = (float(_meta["z_wall_dz"])
+                     if "z_wall_dz" in _meta else None)
+        if window and _src_wall != args.wall_dz:
+            import dataclasses as _dc
+
+            cfg_src = _dc.replace(model.cfg, z_wall_dz=_src_wall)
+            zs_src = StreamerModel._z_coords(cfg_src)
+            zs_dst = np.unique(model.mesh.coords[:, 1])
+            n_r = len(np.unique(model.mesh.coords[:, 0]))
+            state = model._remap_z(state, zs_src, zs_dst, n_r)
+            print(f"remapped checkpoint z-lines: wall-dz {_src_wall} -> "
+                  f"{args.wall_dz}", flush=True)
         print(f"resumed from {ckpt}: t={state.t:.4e}, "
               f"{state.n_accepted} steps", flush=True)
     else:
@@ -302,7 +318,12 @@ def main():
         return front
 
     def ckpt_meta():
-        return ({"z_corridor": model.cfg.z_corridor} if window else None)
+        if not window:
+            return None
+        meta = {"z_corridor": model.cfg.z_corridor}
+        if model.cfg.z_wall_dz is not None:
+            meta["z_wall_dz"] = model.cfg.z_wall_dz
+        return meta
 
     def save_window():
         # human-readable sidecar only; resume reads the checkpoint meta
