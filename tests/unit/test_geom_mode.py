@@ -164,3 +164,32 @@ def test_wall_clustered_window_move_keeps_topology():
     assert zs[1] - zs[0] < 2e-6, "wall clustering lost across the move"
     s3 = drv.advance(s2, {})
     assert np.isfinite(np.asarray(s3.u)).all()
+
+
+def test_wall_dz_resume_remap_roundtrip():
+    """Changing the wall spacing across a resume must remap the fields,
+    not reload them onto shifted z-lines: interpolate a smooth analytic
+    profile from plain-tail z-lines onto clustered ones via `_remap_z`
+    and check it reproduces the profile on the new nodes."""
+    cfg_plain = _cfg(1e-4)
+    cfg_wall = _cfg(1e-4, z_wall_dz=1e-6)
+    m = StreamerModel(cfg_wall)
+    zs_src = StreamerModel._z_coords(cfg_plain)
+    zs_dst = np.unique(m.mesh.coords[:, 1])
+    n_r = len(np.unique(m.mesh.coords[:, 0]))
+
+    from fedm_tpu.timestepping import TimeState
+
+    def profile(z):
+        return np.sin(2 * np.pi * z / 0.0125)
+
+    # node id = iz * n_r + ir: same profile on every radial line
+    u_src = np.repeat(profile(zs_src), n_r)[:, None] * np.ones((1, m.n_eq))
+    st = TimeState(u=jnp.asarray(u_src), u_old=jnp.asarray(u_src),
+                   u_old1=jnp.asarray(u_src), t=0.0, dt=1e-12, dt_old=1e-12,
+                   max_error=[1e-4] * 3, n_accepted=1, n_rejected=0)
+    st2 = m._remap_z(st, zs_src, zs_dst, n_r)
+    got = np.asarray(st2.u)[:, 0].reshape(len(zs_dst), n_r)[:, 0]
+    # linear interpolation of a smooth profile: small but nonzero error
+    assert np.abs(got - profile(zs_dst)).max() < 5e-3
+    assert st2.n_accepted == 1 and st2.dt == st.dt
