@@ -177,6 +177,14 @@ def main():
                     import json as _json
 
                     corridor = tuple(_json.loads(wfile.read_text()))
+            # the window POSITION always comes from the checkpoint, but a
+            # resume may request a different corridor dz (e.g. finishing
+            # the post-arrival tail at the reference's own resolution):
+            # build the model on the requested spacing and z-remap the
+            # state below (node counts change; _remap_z is count-agnostic)
+            src_corridor = corridor
+            if corridor[2] != args.window_dz:
+                corridor = (corridor[0], corridor[1], args.window_dz)
     else:
         corridor = (0.0, 1.08e-2, args.dz)
     common = dict(nx=args.nx, z_corridor=corridor, stab_mode=args.stab,
@@ -262,21 +270,26 @@ def main():
     if args.resume and ckpt.exists():
         state, _meta = load_checkpoint(ckpt, with_meta=True)
         # a checkpoint's state lives on the z-lines its writer's geometry
-        # flags produced; changing --wall-dz across a resume (same
-        # topology, different coordinates) would otherwise silently load
-        # the fields onto shifted nodes — remap along z instead
+        # flags produced; changing --wall-dz or --window-dz across a
+        # resume would otherwise silently load the fields onto shifted
+        # nodes (or fail on shape) — remap along z instead
         _src_wall = (float(_meta["z_wall_dz"])
                      if "z_wall_dz" in _meta else None)
-        if window and _src_wall != args.wall_dz:
+        _src_corr = (src_corridor if window else None)
+        if window and (_src_wall != args.wall_dz
+                       or _src_corr != model.cfg.z_corridor):
             import dataclasses as _dc
 
-            cfg_src = _dc.replace(model.cfg, z_wall_dz=_src_wall)
+            cfg_src = _dc.replace(model.cfg, z_wall_dz=_src_wall,
+                                  z_corridor=_src_corr)
             zs_src = StreamerModel._z_coords(cfg_src)
             zs_dst = np.unique(model.mesh.coords[:, 1])
             n_r = len(np.unique(model.mesh.coords[:, 0]))
             state = model._remap_z(state, zs_src, zs_dst, n_r)
             print(f"remapped checkpoint z-lines: wall-dz {_src_wall} -> "
-                  f"{args.wall_dz}", flush=True)
+                  f"{args.wall_dz}, corridor dz {_src_corr[2]:g} -> "
+                  f"{model.cfg.z_corridor[2]:g} "
+                  f"({len(zs_src)} -> {len(zs_dst)} z-lines)", flush=True)
         print(f"resumed from {ckpt}: t={state.t:.4e}, "
               f"{state.n_accepted} steps", flush=True)
     else:
