@@ -193,3 +193,45 @@ def test_wall_dz_resume_remap_roundtrip():
     # linear interpolation of a smooth profile: small but nonzero error
     assert np.abs(got - profile(zs_dst)).max() < 5e-3
     assert st2.n_accepted == 1 and st2.dt == st.dt
+
+
+def test_corridor_dz_resume_remap_roundtrip():
+    """Changing the corridor SPACING across a resume (finishing the
+    post-arrival tail at the reference's own dz, docs/BAGHERI14_RUN.md)
+    changes the z-line COUNT: `_remap_z` must interpolate onto the new
+    lines, both directions (fine -> coarse -> fine reproduces a smooth
+    profile up to linear-interpolation error)."""
+    import dataclasses
+
+    cfg_fine = _cfg(1e-4)                              # dz = DZ
+    cfg_coarse = dataclasses.replace(
+        cfg_fine, z_corridor=(1e-4, 1e-4 + SPAN, 2 * DZ))
+    m_fine = StreamerModel(cfg_fine)
+    m_coarse = StreamerModel(cfg_coarse)
+    zs_fine = np.unique(m_fine.mesh.coords[:, 1])
+    zs_coarse = np.unique(m_coarse.mesh.coords[:, 1])
+    assert len(zs_coarse) < len(zs_fine)
+    n_r = len(np.unique(m_fine.mesh.coords[:, 0]))
+    assert n_r == len(np.unique(m_coarse.mesh.coords[:, 0]))
+
+    from fedm_tpu.timestepping import TimeState
+
+    def profile(z):
+        return np.sin(2 * np.pi * z / 0.0125)
+
+    u_src = np.repeat(profile(zs_fine), n_r)[:, None] * np.ones(
+        (1, m_fine.n_eq))
+    st = TimeState(u=jnp.asarray(u_src), u_old=jnp.asarray(u_src),
+                   u_old1=jnp.asarray(u_src), t=0.0, dt=1e-12, dt_old=1e-12,
+                   max_error=[1e-4] * 3, n_accepted=1, n_rejected=0)
+    down = m_coarse._remap_z(st, zs_fine, zs_coarse, n_r)
+    assert down.u.shape == (len(zs_coarse) * n_r, m_fine.n_eq)
+    back = m_fine._remap_z(down, zs_coarse, zs_fine, n_r)
+    got = np.asarray(back.u)[:, 0].reshape(len(zs_fine), n_r)[:, 0]
+    err = np.abs(got - profile(zs_fine))
+    # tight in the corridor (uniform spacing both ways); the geometric
+    # outer tails are coarse by design, so only loosely bounded there
+    in_corr = (zs_fine >= 1e-4) & (zs_fine <= 1e-4 + SPAN)
+    assert err[in_corr].max() < 2e-2
+    assert err.max() < 0.5
+    assert back.n_accepted == 1 and back.dt == st.dt
