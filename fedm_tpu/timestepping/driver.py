@@ -66,6 +66,29 @@ class TimeState:
     n_rejected: int = 0
 
 
+def restart_bdf_history(state: TimeState, dt: float | None = None) -> TimeState:
+    """Restart the multistep history in place: the next attempt becomes a
+    backward-Euler step from ``state.u``.
+
+    A cross-RESOLUTION state remap (e.g. a corridor-dz change across a
+    resume) invalidates the BDF2 history: ``u_old`` and ``u_old1`` are
+    restricted/prolonged independently, so their divided differences no
+    longer approximate a time derivative on the new mesh — the first BDF2
+    attempt then hands Newton an inconsistent system and it (correctly)
+    refuses at every dt (measured: ``runs/bagheri14_tail``, zero accepted
+    steps; ``docs/BAGHERI14_RUN.md`` coarse-tail study). Setting
+    ``dt_old`` to the first-step sentinel makes the ratio-weighted BDF2
+    combination degrade to the BDF1 difference ``u - u_old``
+    (``model/forms.py`` ``bdf2_history_part``) — the same bootstrap the
+    reference uses on its first step (`fedm-tof_1d.py:65`)."""
+    state.u_old = state.u
+    state.u_old1 = state.u
+    state.dt_old = 1e30
+    if dt is not None:
+        state.dt = dt
+    return state
+
+
 class AdaptiveDriver:
     def __init__(
         self,

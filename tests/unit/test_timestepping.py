@@ -219,3 +219,59 @@ def test_window_remesh_advance_continues():
     assert s.n_accepted == 4 and np.isfinite(u).all()
     # the remapped run keeps physical fields: seed ion peak preserved
     assert 40.0 < u[:, 0].max() < 46.0
+
+
+def test_restart_bdf_history_semantics():
+    """restart_bdf_history: history <- u, dt_old <- first-step sentinel, so
+    the ratio-weighted BDF2 combination degrades to the backward-Euler
+    difference u - u_old (the reference's own bootstrap)."""
+    from fedm_tpu.model.forms import bdf2_history_part
+    from fedm_tpu.timestepping import TimeState
+    from fedm_tpu.timestepping.driver import restart_bdf_history
+
+    u = jnp.asarray(np.random.default_rng(0).normal(size=(12, 3)))
+    st = TimeState(u=u, u_old=2.0 * u, u_old1=-u, t=1e-9,
+                   dt=2e-12, dt_old=1e-12, n_accepted=5)
+    out = restart_bdf_history(st, dt=5e-12)
+    assert out is st  # in place
+    assert out.dt == 5e-12 and out.dt_old == 1e30
+    np.testing.assert_array_equal(np.asarray(out.u_old), np.asarray(u))
+    np.testing.assert_array_equal(np.asarray(out.u_old1), np.asarray(u))
+    # controller bookkeeping untouched
+    assert out.t == 1e-9 and out.n_accepted == 5
+    # with the sentinel, the BDF2 history part is the BDF1 difference
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(12, 3)))
+    h = bdf2_history_part(v, out.u_old, out.u_old1, out.dt, out.dt_old)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(v - u),
+                               rtol=0, atol=1e-22)
+    # dt=None keeps the checkpoint dt
+    st2 = TimeState(u=u, u_old=u, u_old1=u, dt=3e-12)
+    assert restart_bdf_history(st2).dt == 3e-12
+
+
+def test_cross_resolution_remap_restart_advances():
+    """Fine -> coarse corridor-dz remap with a BDF-history restart: the
+    driver must accept steps on the coarse mesh (the raw carried-over
+    history from independently-restricted u_old/u_old1 is what the
+    coarse-tail study measured refusing Newton at every dt)."""
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+    from fedm_tpu.timestepping.driver import restart_bdf_history
+
+    common = dict(r_corridor=(2e-3, 4e-4), mg_levels=0,
+                  density_floor=1e13, dtype=jnp.float32)
+    mF = StreamerModel(StreamerConfig(z_corridor=(9.1e-3, 1.06e-2, 7.5e-5),
+                                      **common))
+    dF = mF.make_driver()
+    s = mF.initial_state()
+    for _ in range(2):
+        s = dF.advance(s, {})
+    assert s.n_accepted == 2
+    mC = StreamerModel(StreamerConfig(z_corridor=(9.1e-3, 1.06e-2, 1.5e-4),
+                                      **common))
+    s = mF.remap_state(mC, s)
+    s = restart_bdf_history(s)
+    dC = mC.make_driver()
+    for _ in range(2):
+        s = dC.advance(s, {})
+    u = np.asarray(s.u)
+    assert s.n_accepted == 4 and np.isfinite(u).all()

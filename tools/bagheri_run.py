@@ -40,6 +40,10 @@ def main():
                     help="r-corridor fine-region extent [m]")
     ap.add_argument("--T", type=float, default=1.4e-8)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resume-dt", type=float, default=None,
+                    help="override the checkpoint's dt on a "
+                         "cross-resolution remap resume (the backward-"
+                         "Euler restart step; default: keep checkpoint dt)")
     ap.add_argument("--checkpoint-every", type=int, default=100)
     ap.add_argument("--report-every", type=int, default=25)
     ap.add_argument("--f64", action="store_true", help="full f64 (no escalation)")
@@ -290,6 +294,15 @@ def main():
                   f"{args.wall_dz}, corridor dz {_src_corr[2]:g} -> "
                   f"{model.cfg.z_corridor[2]:g} "
                   f"({len(zs_src)} -> {len(zs_dst)} z-lines)", flush=True)
+            # a cross-resolution remap invalidates the BDF2 history (see
+            # restart_bdf_history docstring): restart the integrator on a
+            # backward-Euler first step from the remapped state.
+            from fedm_tpu.timestepping.driver import restart_bdf_history
+
+            state = restart_bdf_history(state, dt=args.resume_dt)
+            print(f"cross-resolution remap: BDF history restarted "
+                  f"(backward-Euler first step, dt={state.dt:.3e})",
+                  flush=True)
         print(f"resumed from {ckpt}: t={state.t:.4e}, "
               f"{state.n_accepted} steps", flush=True)
     else:
