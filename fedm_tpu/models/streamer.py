@@ -210,6 +210,56 @@ def _graded_coords(n: int, length: float, grade: float, focus: float) -> np.ndar
     return t * length
 
 
+def _tophat_avg_row(zs: np.ndarray, a: float, b: float) -> np.ndarray:
+    """Nodal weights of (1/(b-a)) * integral_a^b u(z) dz for u piecewise
+    linear on the z-lines `zs` (exact trapezoid over the merged grid)."""
+    a, b = max(a, zs[0]), min(b, zs[-1])
+    pts = np.concatenate(([a], zs[(zs > a) & (zs < b)], [b]))
+    i1 = np.clip(np.searchsorted(zs, pts), 1, len(zs) - 1)
+    i0 = i1 - 1
+    w = (pts - zs[i0]) / (zs[i1] - zs[i0])
+    seg = np.diff(pts)
+    coef = np.zeros(len(pts))
+    coef[:-1] += 0.5 * seg
+    coef[1:] += 0.5 * seg
+    row = np.zeros(len(zs))
+    np.add.at(row, i0, coef * (1.0 - w))
+    np.add.at(row, i1, coef * w)
+    return row / (b - a)
+
+
+def _z_interp_weights(zs: np.ndarray, zd: np.ndarray) -> np.ndarray:
+    """[len(zd), len(zs)] pure z-linear interpolation matrix (identity on
+    matching z-planes) — `move_window`'s remap mode."""
+    n_d, n_s = len(zd), len(zs)
+    idx1 = np.clip(np.searchsorted(zs, zd), 1, n_s - 1)
+    idx0 = idx1 - 1
+    w = (zd - zs[idx0]) / (zs[idx1] - zs[idx0])
+    W = np.zeros((n_d, n_s))
+    W[np.arange(n_d), idx0] = 1.0 - w
+    # += not =: exact node hits (w=0 or 1) must not overwrite
+    np.add.at(W, (np.arange(n_d), idx1), w)
+    return W
+
+
+def _z_remap_weights(zs: np.ndarray, zd: np.ndarray) -> np.ndarray:
+    """[len(zd), len(zs)] remap matrix: z-linear interpolation rows, except
+    interior destination nodes whose local spacing exceeds 1.5x the source
+    spacing there — those average the source field over a symmetric
+    top-hat of the local destination spacing (anti-aliasing restriction;
+    see `StreamerModel._remap_z`). Boundary nodes always interpolate
+    pointwise so Dirichlet/wall values stay consistent with their BCs."""
+    n_d, n_s = len(zd), len(zs)
+    W = _z_interp_weights(zs, zd)
+    src_gap = np.diff(zs)
+    gap_at = src_gap[np.clip(np.searchsorted(zs, zd) - 1, 0, n_s - 2)]
+    for j in range(1, n_d - 1):
+        h_half = 0.5 * min(zd[j] - zd[j - 1], zd[j + 1] - zd[j])
+        if 2.0 * h_half > 1.5 * gap_at[j]:
+            W[j] = _tophat_avg_row(zs, zd[j] - h_half, zd[j] + h_half)
+    return W
+
+
 class StreamerModel:
     SIGN = (1.0, -1.0)  # ion, electron charge signs
 
@@ -753,7 +803,8 @@ class StreamerModel:
 
     # -- run ----------------------------------------------------------------
 
-    def remap_state(self, dst_model: "StreamerModel", state):
+    def remap_state(self, dst_model: "StreamerModel", state,
+                    restrict: bool = True):
         """Interpolate a TimeState onto another StreamerModel's mesh —
         the moving-window remesh primitive (docs/STREAMER_STUDY.md round
         6): as the ionisation front crosses the gap, only a ~mm-wide
@@ -775,22 +826,39 @@ class StreamerModel:
         rd = np.unique(dst_c[:, 0])
         assert len(rs) == len(rd) and np.allclose(rs, rd), (
             "remap_state needs identical radial node lines")
-        return self._remap_z(state, zs, zd, len(rs))
+        return self._remap_z(state, zs, zd, len(rs), restrict=restrict)
 
-    def _remap_z(self, state, zs: np.ndarray, zd: np.ndarray, n_r: int):
-        """z-linear per-r-line state interpolation from z-lines `zs` onto
-        `zd` (shared core of `remap_state` and `move_window`)."""
+    def _remap_z(self, state, zs: np.ndarray, zd: np.ndarray, n_r: int,
+                 restrict: bool = False):
+        """z-wise per-r-line state remap from z-lines `zs` onto `zd`
+        (shared core of `remap_state` and `move_window`).
+
+        By default every destination node interpolates z-linearly —
+        identity on matching z-planes; this is `move_window`'s mode, the
+        one the full 13.24 ns production trajectory was validated on.
+        With ``restrict=True`` (`remap_state`, i.e. a cross-resolution
+        RESUME onto a different z-line family), destination nodes that
+        are locally COARSER than the source instead take the TOP-HAT
+        CELL AVERAGE of the source's piecewise-linear field over a
+        window of the local destination spacing — the finite-volume
+        anti-aliasing restriction. Rationale (measured): point-sampling
+        the dz=2.5e-6-resolved post-arrival cathode layer onto the
+        dz=1e-5 corridor aliases the boundary layer and hands Newton a
+        state it refuses at every dt (runs/bagheri14_tail, zero accepted
+        steps; docs/BAGHERI14_RUN.md). The top-hat window is symmetric,
+        so linear fields are still reproduced exactly; in the
+        log-density representation the average is a geometric mean of
+        densities, consistent with the P1 log form both meshes use."""
         import dataclasses
 
         n_eq = self.n_eq
-        # node id = iz * n_r + ir (mesh/generators.py layout)
-        i1 = np.clip(np.searchsorted(zs, zd), 1, len(zs) - 1)
-        i0 = i1 - 1
-        w = ((zd - zs[i0]) / (zs[i1] - zs[i0]))[:, None, None]
+        W = (_z_remap_weights(zs, zd) if restrict
+             else _z_interp_weights(zs, zd))
 
         def remap(u):
-            U = np.asarray(u).reshape(len(zs), n_r, n_eq)
-            V = (1.0 - w) * U[i0] + w * U[i1]
+            # node id = iz * n_r + ir (mesh/generators.py layout)
+            U = np.asarray(u).reshape(len(zs), n_r * n_eq)
+            V = W @ U
             return jnp.asarray(V.reshape(len(zd) * n_r, n_eq))
 
         return dataclasses.replace(

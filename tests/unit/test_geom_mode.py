@@ -95,7 +95,9 @@ def test_move_window_zero_recompile_equivalence():
     mB = StreamerModel(_cfg(6.0e-3))
     mB.system.use_gather_scatter()
     mB.system.enable_geom_mode()
-    sB = mA0.remap_state(mB, s_pre)
+    # restrict=False: move_window remaps by pure interpolation, so the
+    # fresh-build comparison path must too (bitwise-identical data)
+    sB = mA0.remap_state(mB, s_pre, restrict=False)
     s3B = mB.make_driver().advance(sB, {})
 
     assert s3.t == pytest.approx(s3B.t)

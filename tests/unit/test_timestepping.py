@@ -275,3 +275,96 @@ def test_cross_resolution_remap_restart_advances():
         s = dC.advance(s, {})
     u = np.asarray(s.u)
     assert s.n_accepted == 4 and np.isfinite(u).all()
+
+
+def test_z_remap_weights_restriction():
+    """_z_remap_weights: pointwise (identity) on matching grids; exact on
+    linear fields under 4:1 coarsening; anti-aliases oscillations that
+    pointwise sampling would fold into the coarse grid."""
+    from fedm_tpu.models.streamer import _z_remap_weights
+
+    zs = np.linspace(0.0, 1.0, 201)          # fine: dz = 5e-3
+    # matching grids -> exact identity
+    W = _z_remap_weights(zs, zs)
+    np.testing.assert_allclose(W, np.eye(201), rtol=0, atol=1e-12)
+    # 4:1 coarsening
+    zd = np.linspace(0.0, 1.0, 51)           # coarse: dz = 2e-2
+    W = _z_remap_weights(zs, zd)
+    # partition of unity (constants reproduced)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=0, atol=1e-12)
+    # linear fields reproduced exactly (symmetric top-hat window)
+    lin = 3.0 * zs + 0.7
+    np.testing.assert_allclose(W @ lin, 3.0 * zd + 0.7, rtol=0, atol=1e-12)
+    # a grid-frequency oscillation on the fine mesh must be averaged out,
+    # not point-sampled: pointwise would return +-1 at every coarse node
+    osc = np.where(np.arange(201) % 2 == 0, 1.0, -1.0)
+    restricted = (W @ osc)[1:-1]             # interior nodes restrict
+    assert np.abs(restricted).max() < 0.1, restricted
+    # boundary nodes stay pointwise interpolation
+    assert W[0, 0] == 1.0 and W[-1, -1] == 1.0
+    # prolongation direction (dst finer than src) stays pure interpolation
+    Wp = _z_remap_weights(zd, zs)
+    assert ((Wp > 0).sum(axis=1) <= 2).all()
+
+
+def test_z_remap_weights_nonuniform_junction():
+    """Restriction engages only where the destination locally coarsens:
+    a destination grid matching the source in a 'tail' region and 4x
+    coarser in a 'corridor' keeps the tail identity while averaging the
+    corridor."""
+    from fedm_tpu.models.streamer import _z_remap_weights
+
+    tail = np.linspace(0.0, 0.1, 41)         # both grids share this
+    zs = np.concatenate([tail, np.arange(1, 361) * 2.5e-3 + 0.1])
+    zd = np.concatenate([tail, np.arange(1, 91) * 1e-2 + 0.1])
+    W = _z_remap_weights(zs, zd)
+    # tail rows: identity (up to the last-but-one tail node; its neighbor
+    # gap already spans into the corridor)
+    sub = W[:39, :39]
+    np.testing.assert_allclose(sub, np.eye(39), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, rtol=0, atol=1e-12)
+    # corridor interior rows average >2 source nodes
+    assert ((W[45:-1] > 0).sum(axis=1) >= 3).all()
+    lin = -2.0 * zs + 5.0
+    np.testing.assert_allclose(W @ lin, -2.0 * zd + 5.0, rtol=0, atol=1e-12)
+
+
+def test_true_res_rescue_deepens_f32_newton():
+    """NewtonConfig.true_res_rescue: the left-preconditioned BiCGStab
+    convergence metric is the M^-1-scaled norm, which can accept
+    directions that are poor in the TRUE norm. With the rescue enabled
+    (threshold 1.0 = rerun right-preconditioned GMRES only for provably
+    useless directions; here 0.5 to also trigger on merely-poor ones) the
+    plain-f32 Newton on the streamer step must converge at least as deep
+    as without it (measured ~2.5x deeper on this toy config; the real
+    trigger case — M-norm 4.2e-3 vs true-norm 14.6 on the coarse-corridor
+    resume state — is documented in docs/BAGHERI14_RUN.md)."""
+    from dataclasses import replace
+
+    from fedm_tpu.model.system import StepParams
+    from fedm_tpu.models.streamer import StreamerModel, StreamerConfig
+
+    common = dict(nx=8, ny=12, mg_levels=0)
+    base = StreamerConfig(dtype=jnp.float32, **common).newton
+    nc = replace(base, rtol=1e-6, max_iter=12, linear_tol=1e-4,
+                 linear_maxiter=400, accept_reduction=0.0)
+    m_off = StreamerModel(StreamerConfig(
+        dtype=jnp.float32, newton=replace(nc, true_res_rescue=0.0),
+        **common))
+    m_on = StreamerModel(StreamerConfig(
+        dtype=jnp.float32, newton=replace(nc, true_res_rescue=0.5),
+        **common), mesh=m_off.mesh)
+
+    s = m_off.initial_state()
+    dt = m_off.cfg.dt_init
+    params = StepParams(jnp.asarray(s.t + dt), jnp.asarray(dt),
+                        jnp.asarray(1e30))
+    u_off, info_off = m_off.system.step(s.u, s.u, s.u_old1, {}, params)
+    u_on, info_on = m_on.system.step(s.u, s.u, s.u_old1, {}, params)
+    red_off = float(info_off.res_norm) / float(info_off.res0_norm)
+    red_on = float(info_on.res_norm) / float(info_on.res0_norm)
+    assert np.isfinite(np.asarray(u_on)).all()
+    # the rescued iteration must not be worse, and on this config it is
+    # measurably deeper (2.5x measured; assert half that as margin)
+    assert red_on <= red_off, (red_on, red_off)
+    assert red_on < 0.8 * red_off, (red_on, red_off)

@@ -73,6 +73,15 @@ def main():
                          "(NewtonConfig.hi_residual) — removes the f32 "
                          "assembly noise floor at ~one extra residual "
                          "eval per Newton iteration")
+    ap.add_argument("--true-res-rescue", type=float, default=0.0,
+                    help="NewtonConfig.true_res_rescue: when the BiCGStab "
+                         "direction's TRUE-norm linear reduction exceeds "
+                         "this, rerun right-preconditioned GMRES and keep "
+                         "the better direction (guards against the left-"
+                         "preconditioned M-norm under-reporting a useless "
+                         "direction — the coarse-corridor resume failure "
+                         "mode, docs/BAGHERI14_RUN.md). 0 disables; 1.0 "
+                         "= rescue only provably-useless directions")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics")
     ap.add_argument("--diag-guards", action="store_true",
@@ -227,7 +236,8 @@ def main():
                           linear_tol=args.linear_tol, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=3e-2, host_loop=True,
-                          hi_residual=args.hi_res)
+                          hi_residual=args.hi_res,
+                          true_res_rescue=args.true_res_rescue)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
         if args.no_fallback:
@@ -289,7 +299,12 @@ def main():
             zs_src = StreamerModel._z_coords(cfg_src)
             zs_dst = np.unique(model.mesh.coords[:, 1])
             n_r = len(np.unique(model.mesh.coords[:, 0]))
-            state = model._remap_z(state, zs_src, zs_dst, n_r)
+            # restrict=True: a cross-resolution resume must anti-alias
+            # locally-coarsened regions (top-hat restriction) — pointwise
+            # sampling of the resolved cathode layer is what Newton
+            # refused at every dt (docs/BAGHERI14_RUN.md coarse-tail)
+            state = model._remap_z(state, zs_src, zs_dst, n_r,
+                                   restrict=True)
             print(f"remapped checkpoint z-lines: wall-dz {_src_wall} -> "
                   f"{args.wall_dz}, corridor dz {_src_corr[2]:g} -> "
                   f"{model.cfg.z_corridor[2]:g} "
