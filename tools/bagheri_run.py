@@ -106,6 +106,17 @@ def main():
     ap.add_argument("--window-span", type=float, default=1.5e-3,
                     help="window length [m] (60%% ahead of the front, "
                          "40%% behind)")
+    ap.add_argument("--tail-cells", default="48,48",
+                    help="window-mode z-tail cell counts 'lo,hi' "
+                         "(StreamerConfig.z_tail_cells). NOTE the lower "
+                         "tail is a fixed-COUNT geometric fan whose ratio "
+                         "re-solves from the corridor dz: at 48 cells a "
+                         "corridor COARSENING to dz=1e-5 shrinks the wall "
+                         "cell to 0.108 um — finer than the 0.25 um "
+                         "wall-resolution study that died at dt_min "
+                         "(docs/BAGHERI14_RUN.md). '10,48' at dz=1e-5 "
+                         "gives a UNIFORM 1e-5 wall spacing, the "
+                         "reference's own cathode resolution")
     ap.add_argument("--wall-dz", type=float, default=None,
                     help="wall-clustered lower tail (StreamerConfig."
                          "z_wall_dz): first cell size at the cathode for "
@@ -204,7 +215,9 @@ def main():
                   poisson_precond=args.precond, T_final=args.T,
                   row_scaled=args.row_scaled)
     if window:
-        common["z_tail_cells"] = (48, 48)
+        tail_cells = tuple(int(s) for s in args.tail_cells.split(","))
+        assert len(tail_cells) == 2
+        common["z_tail_cells"] = tail_cells
         if args.wall_dz is not None:
             common["z_wall_dz"] = args.wall_dz
     if args.dr is not None:
@@ -290,12 +303,18 @@ def main():
         _src_wall = (float(_meta["z_wall_dz"])
                      if "z_wall_dz" in _meta else None)
         _src_corr = (src_corridor if window else None)
+        # legacy checkpoints predate the meta entry and were all written
+        # with the (48, 48) fixed topology
+        _src_tails = (tuple(int(v) for v in _meta["z_tail_cells"])
+                      if "z_tail_cells" in _meta else (48, 48))
         if window and (_src_wall != args.wall_dz
-                       or _src_corr != model.cfg.z_corridor):
+                       or _src_corr != model.cfg.z_corridor
+                       or _src_tails != model.cfg.z_tail_cells):
             import dataclasses as _dc
 
             cfg_src = _dc.replace(model.cfg, z_wall_dz=_src_wall,
-                                  z_corridor=_src_corr)
+                                  z_corridor=_src_corr,
+                                  z_tail_cells=_src_tails)
             zs_src = StreamerModel._z_coords(cfg_src)
             zs_dst = np.unique(model.mesh.coords[:, 1])
             n_r = len(np.unique(model.mesh.coords[:, 0]))
@@ -307,8 +326,11 @@ def main():
                                    restrict=True)
             print(f"remapped checkpoint z-lines: wall-dz {_src_wall} -> "
                   f"{args.wall_dz}, corridor dz {_src_corr[2]:g} -> "
-                  f"{model.cfg.z_corridor[2]:g} "
-                  f"({len(zs_src)} -> {len(zs_dst)} z-lines)", flush=True)
+                  f"{model.cfg.z_corridor[2]:g}, tails {_src_tails} -> "
+                  f"{model.cfg.z_tail_cells} "
+                  f"({len(zs_src)} -> {len(zs_dst)} z-lines; wall cell "
+                  f"{zs_src[1] - zs_src[0]:.2e} -> "
+                  f"{zs_dst[1] - zs_dst[0]:.2e})", flush=True)
             # a cross-resolution remap invalidates the BDF2 history (see
             # restart_bdf_history docstring): restart the integrator on a
             # backward-Euler first step from the remapped state.
@@ -361,7 +383,8 @@ def main():
     def ckpt_meta():
         if not window:
             return None
-        meta = {"z_corridor": model.cfg.z_corridor}
+        meta = {"z_corridor": model.cfg.z_corridor,
+                "z_tail_cells": model.cfg.z_tail_cells}
         if model.cfg.z_wall_dz is not None:
             meta["z_wall_dz"] = model.cfg.z_wall_dz
         return meta
