@@ -104,6 +104,7 @@ class AdaptiveDriver:
         fallback_system: Optional[CoupledSystem] = None,
         escalate_after_rejects: int = 2,
         crash_checkpoint: Optional[Path] = None,
+        crash_meta: Optional[Callable] = None,
         post_accept: Optional[Callable] = None,
         fail_dt_cap: float = 0.0,
         fail_cap_recovery: float = 1.05,
@@ -151,6 +152,16 @@ class AdaptiveDriver:
         # reference just raises SystemExit, `functions.py:1099-1100`).
         self.crash_checkpoint = (
             Path(crash_checkpoint) if crash_checkpoint is not None else None)
+        # Callable returning the same meta dict the run's periodic
+        # checkpoints carry (e.g. moving-window corridor/tail topology).
+        # Without it a crash checkpoint is NOT safely resumable for
+        # geometry-bearing runs: the Bagheri finish segment's dt_min death
+        # wrote a crash.npz whose missing corridor/tail meta would have
+        # been mis-read as the legacy (48,48) topology on --resume,
+        # z-remapping the state onto wrong nodes (measured 2026-08-19;
+        # repaired by hand-repacking the meta). A callable (not a dict)
+        # because window moves mutate the geometry mid-run.
+        self.crash_meta = crash_meta
         # Projection applied to the accepted state (AFTER the step-error
         # test, so the error control still measures the raw solve). Used
         # for physics-preserving clamps — e.g. the streamer's far-field
@@ -198,7 +209,9 @@ class AdaptiveDriver:
                 t=state.t, dt=state.dt, dt_old=state.dt_old,
                 max_error=list(state.max_error),
                 n_accepted=state.n_accepted, n_rejected=n_rejected)
-            save_checkpoint(self.crash_checkpoint, last_good)
+            save_checkpoint(
+                self.crash_checkpoint, last_good,
+                meta=self.crash_meta() if self.crash_meta else None)
             msg += f" Last good state saved to {self.crash_checkpoint}."
         raise SystemExit(msg)
 

@@ -368,3 +368,35 @@ def test_true_res_rescue_deepens_f32_newton():
     # measurably deeper (2.5x measured; assert half that as margin)
     assert red_on <= red_off, (red_on, red_off)
     assert red_on < 0.8 * red_off, (red_on, red_off)
+
+
+def test_crash_checkpoint_carries_meta(tmp_path):
+    """A dt_min death must write a crash checkpoint with the SAME meta
+    as the run's periodic checkpoints (AdaptiveDriver.crash_meta).
+    Measured failure (2026-08-19, Bagheri finish segment): crash.npz
+    lacked the moving-window corridor/tail topology, so a --resume would
+    have z-remapped the state from the legacy (48,48) topology onto
+    wrong nodes; the state had to be repacked by hand."""
+    from fedm_tpu.io.checkpoint import load_checkpoint
+    from fedm_tpu.solvers.newton import NewtonInfo
+    from fedm_tpu.timestepping import AdaptiveDriver, TimeState
+
+    class _AlwaysFails:
+        def step(self, u_guess, u_old, u_old1, aux, params):
+            z = jnp.asarray(0.0)
+            return u_old, NewtonInfo(
+                jnp.asarray(False), jnp.int32(1), z, z, z)
+
+    corridor = (1e-4, 1.6e-3, 1e-5)
+    drv = AdaptiveDriver(
+        _AlwaysFails(), monitor_idx=1, ttol=1e-3, dt_min=1e-14,
+        dt_max=5e-12, crash_checkpoint=tmp_path / "crash.npz",
+        crash_meta=lambda: {"z_corridor": corridor,
+                            "z_tail_cells": (10, 48)})
+    u = jnp.asarray(np.full((5, 3), 1.0))
+    s = TimeState(u=u, u_old=u, u_old1=u, t=0.0, dt=1e-12, dt_old=1e30)
+    with pytest.raises(SystemExit):
+        drv.advance(s, {})
+    _, meta = load_checkpoint(tmp_path / "crash.npz", with_meta=True)
+    assert tuple(float(v) for v in meta["z_corridor"]) == corridor
+    assert tuple(int(v) for v in meta["z_tail_cells"]) == (10, 48)

@@ -88,6 +88,16 @@ def main():
                     help="report the guarded-preconditioner-block count "
                          "each report interval (precond._guard fallback "
                          "visibility; one extra compile at first report)")
+    ap.add_argument("--direct-rescue", action="store_true",
+                    help="host sparse-direct Newton escalation "
+                         "(solvers.direct.DirectNewton — the reference's "
+                         "MUMPS role): steps the TPU Krylov Newton "
+                         "refuses retry at the SAME dt with an exact "
+                         "SuperLU solve of the colored-JVP-probed "
+                         "Jacobian. Tunnel-safe (each device execution "
+                         "is one residual/jvp); composes with "
+                         "--no-fallback (it replaces the emulated-f64 "
+                         "escalation, not the f32 hot path)")
     ap.add_argument("--no-fallback", action="store_true",
                     help="f32 only: skip the emulated-f64 escalation system "
                          "(measured to crash the tunneled TPU worker on the "
@@ -262,6 +272,12 @@ def main():
     model.system.use_gather_scatter()
     if window:
         model.system.enable_geom_mode()
+    if args.direct_rescue:
+        assert fallback is None, (
+            "--direct-rescue replaces the f64 escalation: pass "
+            "--no-fallback (or --f64)")
+        assert args.devices == 1, "--direct-rescue is single-chip"
+        from fedm_tpu.solvers.direct import DirectNewton
     sharding = None
     if args.devices > 1:
         from jax.sharding import Mesh
@@ -289,7 +305,10 @@ def main():
         model.system, monitor_idx=1, ttol=model.cfg.ttol,
         dt_min=model.cfg.dt_min, dt_max=model.cfg.dt_max,
         error_log=args.out / "relative error.log",
-        fallback_system=None if fallback is None else fallback.system,
+        fallback_system=(
+            DirectNewton(model.system, verbose=args.verbose)
+            if args.direct_rescue
+            else None if fallback is None else fallback.system),
         crash_checkpoint=args.out / "crash.npz",
         post_accept=model.floor_projection(), verbose=args.verbose,
         fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
@@ -388,6 +407,11 @@ def main():
         if model.cfg.z_wall_dz is not None:
             meta["z_wall_dz"] = model.cfg.z_wall_dz
         return meta
+
+    # a dt_min crash checkpoint must carry the same window meta as the
+    # periodic ones, or its --resume would remap from the wrong (legacy)
+    # topology (AdaptiveDriver.crash_meta docstring)
+    driver.crash_meta = ckpt_meta
 
     def save_window():
         # human-readable sidecar only; resume reads the checkpoint meta
