@@ -98,7 +98,9 @@ class DirectNewton:
 
     def __init__(self, system, max_iter: int = 10,
                  rtol: Optional[float] = None, atol: float = 0.0,
-                 backtracks: int = 6, verbose: bool = False):
+                 backtracks: int = 6,
+                 accept_reduction: Optional[float] = None,
+                 verbose: bool = False):
         assert system.gspmd is None and system.spmd is None, (
             "DirectNewton: single-chip rescue only")
         self.system = system
@@ -106,6 +108,16 @@ class DirectNewton:
         self.rtol = system.newton.rtol if rtol is None else rtol
         self.atol = atol
         self.backtracks = backtracks
+        # Stall acceptance, same semantics as `newton_converged`: when
+        # progress stops short of rtol (here the floor is the f32
+        # Jacobian-probe accuracy rather than the Krylov noise floor —
+        # measured on the sheath rescue: exact solves stall at ~3e-3
+        # reduction while rtol asks 1e-3), accept the kept-best iterate
+        # if it reduced ||F|| by this factor; the adaptive ttol error
+        # control still guards the physics.
+        self.accept_reduction = (system.newton.accept_reduction
+                                 if accept_reduction is None
+                                 else accept_reduction)
         self.verbose = verbose
         self._topo = None          # (rows, cols, col_color, qq, pp) flats
         self._seeds = None         # [n_colors * n_eq] device seed vectors
@@ -267,7 +279,10 @@ class DirectNewton:
                       f"alpha={alpha if accepted else 0.0:g})", flush=True)
             if not accepted:
                 break
-        converged = bool(fnorm <= target)
+        converged = bool(fnorm <= target) or (
+            self.accept_reduction > 0
+            and np.isfinite(fnorm)
+            and fnorm <= self.accept_reduction * f0)
         info = NewtonInfo(jnp.asarray(converged), jnp.int32(k),
                           jnp.asarray(fnorm), jnp.asarray(f0),
                           jnp.asarray(0.0))
