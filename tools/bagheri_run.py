@@ -82,6 +82,13 @@ def main():
                          "direction — the coarse-corridor resume failure "
                          "mode, docs/BAGHERI14_RUN.md). 0 disables; 1.0 "
                          "= rescue only provably-useless directions")
+    ap.add_argument("--accept-reduction", type=float, default=3e-2,
+                    help="NewtonConfig.accept_reduction: stall-acceptance "
+                         "threshold (accept a kept-best iterate at the "
+                         "probe-accuracy floor when Newton stalls having "
+                         "reduced ||F|| by this factor). 0 disables — the "
+                         "state-poisoning probe mode named in "
+                         "docs/BAGHERI14_RUN.md")
     ap.add_argument("--verbose", action="store_true",
                     help="per-attempt Newton diagnostics")
     ap.add_argument("--diag-guards", action="store_true",
@@ -258,7 +265,8 @@ def main():
                           max_iter=20,
                           linear_tol=args.linear_tol, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
-                          accept_reduction=3e-2, host_loop=True,
+                          accept_reduction=args.accept_reduction,
+                          host_loop=True,
                           hi_residual=args.hi_res,
                           true_res_rescue=args.true_res_rescue)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
