@@ -987,7 +987,8 @@ class CoupledSystem:
     def _step_host(self, u_guess, u_old, u_old1, aux, params: StepParams):
         import numpy as np
 
-        from ..solvers.newton import NewtonInfo, newton_converged
+        from ..solvers.newton import (NewtonInfo, newton_converged,
+                                      newton_stall_accepted)
 
         delta = (u_guess - u_old).astype(self.dtype)
         if self._host_iter_jit is None:
@@ -1037,9 +1038,12 @@ class CoupledSystem:
             k += 1
         converged = bool(newton_converged(fnorm, f0, target, stalls,
                                           step_ok, cfgn))
+        stall_acc = bool(newton_stall_accepted(fnorm, f0, target, stalls,
+                                               step_ok, cfgn))
         info = NewtonInfo(jnp.asarray(converged), jnp.int32(k),
                           jnp.asarray(fnorm, f0_norm.dtype), f0_norm,
-                          jnp.asarray(linres, f0_norm.dtype))
+                          jnp.asarray(linres, f0_norm.dtype),
+                          stall_acc)
         return u_old + delta.astype(u_old.dtype), info
 
     def step(self, u_guess, u_old, u_old1, aux, params: StepParams):

@@ -279,11 +279,13 @@ class DirectNewton:
                       f"alpha={alpha if accepted else 0.0:g})", flush=True)
             if not accepted:
                 break
-        converged = bool(fnorm <= target) or (
+        strict = bool(fnorm <= target)
+        converged = strict or (
             self.accept_reduction > 0
             and np.isfinite(fnorm)
             and fnorm <= self.accept_reduction * f0)
         info = NewtonInfo(jnp.asarray(converged), jnp.int32(k),
                           jnp.asarray(fnorm), jnp.asarray(f0),
-                          jnp.asarray(0.0))
+                          jnp.asarray(0.0),
+                          converged and not strict)
         return u_old + delta.astype(u_old.dtype), info

@@ -109,6 +109,7 @@ class AdaptiveDriver:
         fail_dt_cap: float = 0.0,
         fail_cap_recovery: float = 1.05,
         predictor: float = 0.0,
+        newton_log: Optional[Path] = None,
     ):
         self.system = system
         # int (reference semantics) or tuple/list of components (max-over)
@@ -147,6 +148,16 @@ class AdaptiveDriver:
         self.fallback_system = fallback_system
         self.escalate_after_rejects = escalate_after_rejects
         self.n_escalated = 0
+        # Stall-acceptance audit (the counterpart of PETSc SNES printing
+        # its converged-reason per solve): count, over the run, how many
+        # ACCEPTED steps exited Newton via the `accept_reduction` clause
+        # (kept-best iterate at the noise floor) vs a genuine rtol/stol
+        # convergence, and optionally record one row per accepted step in
+        # a `newton.log` sidecar (`step exit iters res0 res dt`). The
+        # `relative error.log` format stays byte-identical to the
+        # reference's (`fedm/functions.py:1067-1069`).
+        self.n_stall_accepted = 0
+        self.newton_log = Path(newton_log) if newton_log is not None else None
         # On a dt_min death, save the last good state here first so the
         # failure is resumable forensics instead of a lost run (the
         # reference just raises SystemExit, `functions.py:1099-1100`).
@@ -297,6 +308,17 @@ class AdaptiveDriver:
                 self._log_error(err, dt_old, dt)
                 if err < self.ttol:
                     # accepted: controller proposes the next dt
+                    stall = bool(getattr(info, "stall_accepted", False))
+                    if stall:
+                        self.n_stall_accepted += 1
+                    if self.newton_log is not None:
+                        with open(self.newton_log, "a") as f:
+                            f.write(f"{state.n_accepted + 1} "
+                                    f"{'stall' if stall else 'conv'} "
+                                    f"{int(info.iters)} "
+                                    f"{float(info.res0_norm):.6e} "
+                                    f"{float(info.res_norm):.6e} "
+                                    f"{dt:.6e}\n")
                     if self.post_accept is not None:
                         u_new = self.post_accept(u_new)
                     max_error = [err, state.max_error[0], state.max_error[1]]

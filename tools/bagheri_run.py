@@ -27,8 +27,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# Named production protocols (VERDICT r3 "next" item 6): one flag
+# reproduces a flagship run instead of 16 flags recovered from shell
+# history. A preset only sets DEFAULTS — explicit flags still override.
+PRESETS = {
+    # the 14 ns Bagheri flagship protocol (runs/bagheri14_final):
+    # uniform-1e-5 wall (the reference's own cathode resolution,
+    # docs/BAGHERI14_RUN.md), hi-residual f32 Newton, full rescue stack
+    "bagheri14": dict(
+        window_dz=1e-5, window_span=1.5e-3, tail_cells="10,48",
+        dr=2e-5, r1=2e-3, hi_res=True, no_fallback=True, stab="off",
+        linear_tol=1e-2, checkpoint_every=25, report_every=10,
+        predictor=1.0, fail_dt_cap=0.7, true_res_rescue=1.0,
+        direct_rescue=True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                    help="named production protocol: sets the flag "
+                         "DEFAULTS of a flagship run (explicit flags "
+                         "still override). The active protocol is "
+                         "recorded in checkpoint meta and the run header")
     ap.add_argument("--out", type=Path, default=Path("/tmp/bagheri"))
     ap.add_argument("--dz", type=float, default=2e-5)
     ap.add_argument("--nx", type=int, default=96)
@@ -159,6 +180,20 @@ def main():
                          "post-arrival sheath's fail-twice-every-other-"
                          "step limit cycle (runs/bagheri14). 0 = off "
                          "(reference semantics); 0.7 is a good value")
+    ap.add_argument("--full-gap", action="store_true",
+                    help="static full-gap corridor at --window-dz over "
+                         "the WHOLE 1.25 cm gap (the reference's own "
+                         "static-mesh configuration, fedm-streamer.py "
+                         "dz=1e-5) — no window moves. This is the "
+                         "post-arrival finishing mesh: the t=13.979 ns "
+                         "total-Newton-refusal wall (tools/wall_diag.py "
+                         "autopsy) was a SECONDARY mid-gap ionisation "
+                         "wave at z~3.4 mm sitting in the moving "
+                         "window's coarse geometric tail (local dz "
+                         "1.9e-4), which the single-front window parked "
+                         "at the cathode can never resolve. Pass "
+                         "--tail-cells 10,10 for uniform 1e-5 wall and "
+                         "anode spacing")
     ap.add_argument("--devices", type=int, default=1,
                     help="GSPMD z-slab sharding over the first N devices: "
                          "the PRODUCTION structured stack (slice/pad "
@@ -166,8 +201,25 @@ def main():
                          "runs multi-chip — the reference's `mpirun -np N` "
                          "launch mode (/root/reference/README.md:66). Odd "
                          "dof counts shard via internal pad/slice anchors.")
+    pre, _ = argparse.ArgumentParser(add_help=False), None
+    pre.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    known, _ = pre.parse_known_args()
+    if known.preset is not None:
+        ap.set_defaults(**PRESETS[known.preset])
     args = ap.parse_args()
+    if not 0.0 <= args.accept_reduction < 1.0:
+        # negative would silently behave like 0 (disabled) and >= 1 would
+        # accept iterates that made no progress (round-3 advisor)
+        ap.error(f"--accept-reduction must be in [0, 1): "
+                 f"{args.accept_reduction}")
     args.out.mkdir(parents=True, exist_ok=True)
+    # protocol provenance: every run (and, below, every checkpoint) names
+    # the solver protocol that produced it
+    import json as _json
+
+    protocol = {k: (str(v) if isinstance(v, Path) else v)
+                for k, v in sorted(vars(args).items())}
+    print(f"protocol: {_json.dumps(protocol)}", flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -201,7 +253,12 @@ def main():
                 z_lo, z_hi = Z_LO_MIN, Z_LO_MIN + span
             return (z_lo, z_hi, args.window_dz)
 
-        corridor = window_corr(1e-2)  # initial front = the seed position
+        # full-gap: fine corridor spans the entire gap minus the two
+        # uniform 10-cell tails (z_hi so that a 10-cell upper tail over
+        # the remaining 10*dz is uniform at dz too)
+        fg_corr = (Z_LO_MIN, 1.25e-2 - 10 * args.window_dz, args.window_dz)
+        corridor = (fg_corr if args.full_gap
+                    else window_corr(1e-2))  # initial front = seed position
         # the corridor the checkpointed state lives on travels INSIDE the
         # checkpoint (meta entry) — the split window.json sidecar could
         # desync from the state on a mid-write kill (round-2 advisor)
@@ -224,7 +281,12 @@ def main():
             # build the model on the requested spacing and z-remap the
             # state below (node counts change; _remap_z is count-agnostic)
             src_corridor = corridor
-            if corridor[2] != args.window_dz:
+            if args.full_gap:
+                # finish-segment corridor is the full gap regardless of
+                # the checkpoint's window position; the z-remap below
+                # prolongs the coarse-tail region onto the fine mesh
+                corridor = fg_corr
+            elif corridor[2] != args.window_dz:
                 corridor = (corridor[0], corridor[1], args.window_dz)
     else:
         corridor = (0.0, 1.08e-2, args.dz)
@@ -247,9 +309,14 @@ def main():
         # host_loop also for f64: the tunneled TPU kills long single XLA
         # executions, and the emulated-f64 whole-step program is the
         # longest one (docs/STREAMER_STUDY.md round 5)
+        # accept_reduction / true_res_rescue apply on the f64 path too
+        # (round-3 advisor: omitting them silently dropped the flags);
+        # hi_residual is a no-op at dtype f64 (`_hi_enabled`)
         nc = NewtonConfig(rtol=args.rtol or 1e-3, max_iter=20,
                           linear_tol=args.linear_tol, linear_maxiter=400,
                           linear_solver=args.linear_solver or "bicgstab",
+                          accept_reduction=args.accept_reduction,
+                          true_res_rescue=args.true_res_rescue,
                           host_loop=True)
         model = StreamerModel(StreamerConfig(newton=nc, **common))
         fallback = None
@@ -319,7 +386,8 @@ def main():
             else None if fallback is None else fallback.system),
         crash_checkpoint=args.out / "crash.npz",
         post_accept=model.floor_projection(), verbose=args.verbose,
-        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
+        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor,
+        newton_log=args.out / "newton.log")
 
     if args.resume and ckpt.exists():
         state, _meta = load_checkpoint(ckpt, with_meta=True)
@@ -402,16 +470,20 @@ def main():
             guards = f" n_guarded={n_g}"
         print(f"t={state.t:.4e} dt={state.dt:.3e} steps={state.n_accepted} "
               f"rej={state.n_rejected} esc={driver.n_escalated} "
+              f"stall={driver.n_stall_accepted} "
               f"ne_max={ne_axis.max():.3e} front_z={front:.4e} "
               f"Emax={np.abs(Ez).max():.3e}{guards} "
               f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
         return front
 
     def ckpt_meta():
+        # protocol provenance in every checkpoint (json string), so any
+        # artifact names the solver protocol that produced it
+        meta = {"protocol": _json.dumps(protocol)}
         if not window:
-            return None
-        meta = {"z_corridor": model.cfg.z_corridor,
-                "z_tail_cells": model.cfg.z_tail_cells}
+            return meta
+        meta.update({"z_corridor": model.cfg.z_corridor,
+                     "z_tail_cells": model.cfg.z_tail_cells})
         if model.cfg.z_wall_dz is not None:
             meta["z_wall_dz"] = model.cfg.z_wall_dz
         return meta
@@ -448,7 +520,7 @@ def main():
             # geometry swap (StreamerModel.move_window): same compiled
             # step, same driver, ~100 ms of host work
             z_lo = model.cfg.z_corridor[0]
-            if (window and np.isfinite(front)
+            if (window and not args.full_gap and np.isfinite(front)
                     and front < z_lo + 0.35 * span):
                 new_corr = window_corr(front)
                 if abs(new_corr[0] - z_lo) > 1e-12:
@@ -481,7 +553,9 @@ def main():
     done = state.t >= T * (1 - 1e-12)
     print(f"{'REACHED T_final' if done else 'STOPPED'} at t={state.t:.6e} "
           f"({state.n_accepted} accepted, {state.n_rejected} rejected, "
-          f"{driver.n_escalated} escalated)", flush=True)
+          f"{driver.n_escalated} escalated, "
+          f"{driver.n_stall_accepted} stall-accepted this segment)",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -27,8 +27,23 @@ REF_INPUT = Path("/root/reference/tests/integrated_tests/glow_discharge/"
                  "file_input")
 
 
+# Named production protocols (VERDICT r3 "next" item 6): --preset glow50
+# reproduces the committed runs/glow50 flagship configuration (hi-residual
+# f32, no escalation fallback — the protocol that reached the reference's
+# full t = 5e-5 s horizon). A preset only sets DEFAULTS.
+PRESETS = {
+    "glow50": dict(f32=True, hi_res=True, no_fallback=True,
+                   linear_tol=1e-2, checkpoint_every=100,
+                   report_every=50),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                    help="named production protocol (flag defaults; "
+                         "explicit flags still override); recorded in "
+                         "checkpoint meta")
     ap.add_argument("--out", type=Path, default=Path("/tmp/glow"))
     ap.add_argument("--nx", type=int, default=64)
     ap.add_argument("--ny", type=int, default=64)
@@ -71,8 +86,18 @@ def main():
                          "(AdaptiveDriver.predictor; host-loop only)")
     ap.add_argument("--max-steps", type=int, default=200000)
     ap.add_argument("--file-input", type=Path, default=REF_INPUT)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    known, _ = pre.parse_known_args()
+    if known.preset is not None:
+        ap.set_defaults(**PRESETS[known.preset])
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
+    import json as _json
+
+    protocol = {k: (str(v) if isinstance(v, Path) else v)
+                for k, v in sorted(vars(args).items())}
+    print(f"protocol: {_json.dumps(protocol)}", flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -140,8 +165,10 @@ def main():
         error_log=args.out / "relative_error.log",
         fallback_system=fallback_system,
         crash_checkpoint=args.out / "crash.npz", verbose=args.verbose,
-        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor)
+        fail_dt_cap=args.fail_dt_cap, predictor=args.predictor,
+        newton_log=args.out / "newton.log")
 
+    _ckpt_meta = {"protocol": _json.dumps(protocol)}
     ckpt = args.out / "checkpoint.npz"
     if args.resume and ckpt.exists():
         state = load_checkpoint(ckpt)
@@ -156,6 +183,7 @@ def main():
         eps = np.exp(u[:, 0] - u[:, 3])      # mean electron energy [eV]
         print(f"t={state.t:.4e} dt={state.dt:.3e} steps={state.n_accepted} "
               f"rej={state.n_rejected} esc={driver.n_escalated} "
+              f"stall={driver.n_stall_accepted} "
               f"ne_max={ne.max():.3e} eps=[{eps.min():.2f},{eps.max():.2f}] "
               f"phi=[{u[:, 4].min():.1f},{u[:, 4].max():.1f}] "
               f"[{n_since / max(wall, 1e-9):.2f} steps/s]", flush=True)
@@ -178,20 +206,22 @@ def main():
             t_wall, n_last = now, state.n_accepted
         if (state.n_accepted % args.checkpoint_every == 0
                 and state.n_accepted != last_saved):
-            save_checkpoint(ckpt, state)
+            save_checkpoint(ckpt, state, meta=_ckpt_meta)
             last_saved = state.n_accepted
             # periodic restart-point trail (forensics + re-bench assets)
             if state.n_accepted % (20 * args.checkpoint_every) == 0:
                 save_checkpoint(
                     args.out / f"checkpoint_{state.n_accepted:06d}.npz",
-                    state)
+                    state, meta=_ckpt_meta)
 
-    save_checkpoint(ckpt, state)
+    save_checkpoint(ckpt, state, meta=_ckpt_meta)
     report(state, time.perf_counter() - t_wall, state.n_accepted - n_last)
     done = state.t >= T * (1 - 1e-12)
     print(f"{'REACHED T_final' if done else 'STOPPED'} at t={state.t:.6e} "
           f"({state.n_accepted} accepted, {state.n_rejected} rejected, "
-          f"{driver.n_escalated} escalated)", flush=True)
+          f"{driver.n_escalated} escalated, "
+          f"{driver.n_stall_accepted} stall-accepted this segment)",
+          flush=True)
 
 
 if __name__ == "__main__":
