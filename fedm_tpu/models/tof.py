@@ -65,7 +65,8 @@ class _TofBase:
     axisymmetric: bool
     z_axis: int  # which coordinate is the drift direction
 
-    def __init__(self, cfg: TofConfig, space: FunctionSpace, quad_degree: int):
+    def __init__(self, cfg: TofConfig, space: FunctionSpace, quad_degree: int,
+                 err_quad_degree: int = None):
         self.cfg = cfg
         self.space = space
         self.batch = CellBatch(space, quad_degree=quad_degree,
@@ -74,10 +75,20 @@ class _TofBase:
         self.system = CoupledSystem(self.batch, 1, bcs, cfg.newton)
         self.system.set_cell_kernel(self._cell_kernel)
         # cartesian-measure batch for the reference-compatible error norm
-        # (dolfin errornorm integrates plain dx, no 2*pi*r weight)
-        self._err_batch = (self.batch if not self.axisymmetric else
-                           CellBatch(space, quad_degree=quad_degree,
-                                     axisymmetric=False))
+        # (dolfin errornorm integrates plain dx, no 2*pi*r weight).
+        # `err_quad_degree` is SEPARATE from the assembly degree because the
+        # reference's error METRIC has its own quadrature: the
+        # `project(exp(u), V)` right-hand sides in `fedm_tof.py:165-166`
+        # are integrated at legacy FFC's auto-estimated degree for
+        # exp(P1)*v — degree 4 — so matching the pinned number means
+        # matching that measurement procedure (tools/tof2d_decomp.py:
+        # converged q>=6 assembly + q4 error projection reproduces the
+        # pinned 0.128997 to +0.035%, vs +0.66% at q4 assembly).
+        eq = quad_degree if err_quad_degree is None else err_quad_degree
+        self._err_batch = (CellBatch(space, quad_degree=eq,
+                                     axisymmetric=False)
+                           if (self.axisymmetric or eq != quad_degree)
+                           else self.batch)
 
     # analytic solution (subclasses override; points [..., dim]) ------------
 
@@ -215,7 +226,16 @@ class TimeOfFlight2D(_TofBase):
 
     def __init__(self, cfg: TofConfig = None, nx: int = 40, ny: int = 40,
                  box_width: float = 2.5e-4, box_height: float = 5e-4,
-                 degree: int = 1, quad_degree: int = 4):
+                 degree: int = 1, quad_degree: int = 6,
+                 err_quad_degree: int = 4):
+        # quad 6 = converged assembly quadrature (q6 == q8 == q12 to 15
+        # digits, tools/tof2d_decomp.py); err quad 4 = the reference error
+        # metric's own projection quadrature (see _TofBase.__init__) —
+        # together they reproduce the reference's pinned L2 error to
+        # +0.035% (the round-3 +0.66% delta decomposed: under-integrated
+        # q4 assembly +0.26pp, off-metric error projection +0.37pp,
+        # initial-state floor < 1e-5, BDF bootstrap length 0.011pp)
         cfg = cfg or TofConfig(t0=2.5e-9, T_final=2.6e-9, dt=1e-12)
         mesh = rectangle_mesh((0, 0), (box_width, box_height), nx, ny)
-        super().__init__(cfg, FunctionSpace(mesh, degree), quad_degree)
+        super().__init__(cfg, FunctionSpace(mesh, degree), quad_degree,
+                         err_quad_degree)

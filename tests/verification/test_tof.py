@@ -16,9 +16,13 @@ def test_tof_2d_matches_reference_pinned_error():
     _, errs = m.run(output_times=[2.6e-9])
     t, err = errs[0]
     assert abs(t - 2.6e-9) < 1e-15
-    # same discretisation (P1, 40x40, BDF2) -> same discretisation-dominated
-    # error; tolerance covers quadrature/mesh-diagonal/linear-algebra deltas
-    assert err == pytest.approx(REFERENCE_L2, rel=0.02)
+    # same discretisation (P1 'right'-diagonal 40x40, BDF2, converged
+    # assembly quadrature, the reference metric's q4 error projection):
+    # measured 0.129043 vs pinned 0.128997 (+0.035%). The residual is the
+    # reference's 2-step BDF1 bootstrap (its strict `t > t0+dt` switch,
+    # fedm_tof.py:176, worth -0.011pp) + FFC-vs-Gauss rule residue; the
+    # full decomposition is tools/tof2d_decomp.py (r3 verdict item 4).
+    assert err == pytest.approx(REFERENCE_L2, rel=1e-3)
 
 
 def test_tof_1d_accuracy():

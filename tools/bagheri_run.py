@@ -180,6 +180,13 @@ def main():
                          "post-arrival sheath's fail-twice-every-other-"
                          "step limit cycle (runs/bagheri14). 0 = off "
                          "(reference semantics); 0.7 is a good value")
+    ap.add_argument("--no-direct-rescue", action="store_true",
+                    help="override a preset's --direct-rescue: at the "
+                         "full-gap finish size (547k unknowns) a single "
+                         "SuperLU factorization costs minutes of host "
+                         "time per escalated attempt — Krylov + "
+                         "fail-dt-cap is the right failure handling "
+                         "there")
     ap.add_argument("--full-gap", action="store_true",
                     help="static full-gap corridor at --window-dz over "
                          "the WHOLE 1.25 cm gap (the reference's own "
@@ -207,6 +214,8 @@ def main():
     if known.preset is not None:
         ap.set_defaults(**PRESETS[known.preset])
     args = ap.parse_args()
+    if args.no_direct_rescue:
+        args.direct_rescue = False
     if not 0.0 <= args.accept_reduction < 1.0:
         # negative would silently behave like 0 (disabled) and >= 1 would
         # accept iterates that made no progress (round-3 advisor)
