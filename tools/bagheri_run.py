@@ -84,6 +84,13 @@ def main():
                     help="disable the far-field background density floor")
     ap.add_argument("--rtol", type=float, default=None,
                     help="override Newton rtol")
+    ap.add_argument("--linear-maxiter", type=int, default=400,
+                    help="inner Krylov iteration cap. Each host-loop "
+                         "Newton iteration is ONE XLA execution whose "
+                         "worst case is ~3x this many matvecs (bicgstab "
+                         "+ gmres fallback + rescue); the tunneled TPU "
+                         "kills executions longer than O(minutes), so "
+                         "large meshes need a smaller cap")
     ap.add_argument("--linear-tol", type=float, default=1e-4,
                     help="inner Krylov relative tolerance (inexact-Newton "
                          "forcing term; the ttol error control guards the "
@@ -322,7 +329,8 @@ def main():
         # (round-3 advisor: omitting them silently dropped the flags);
         # hi_residual is a no-op at dtype f64 (`_hi_enabled`)
         nc = NewtonConfig(rtol=args.rtol or 1e-3, max_iter=20,
-                          linear_tol=args.linear_tol, linear_maxiter=400,
+                          linear_tol=args.linear_tol,
+                          linear_maxiter=args.linear_maxiter,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=args.accept_reduction,
                           true_res_rescue=args.true_res_rescue,
@@ -339,7 +347,8 @@ def main():
         # vs res0/800 at dz=2e-5 — measured; see NewtonConfig docstring)
         nc = NewtonConfig(rtol=args.rtol or (1e-3 if args.hi_res else 3e-3),
                           max_iter=20,
-                          linear_tol=args.linear_tol, linear_maxiter=400,
+                          linear_tol=args.linear_tol,
+                          linear_maxiter=args.linear_maxiter,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=args.accept_reduction,
                           host_loop=True,
@@ -354,7 +363,11 @@ def main():
                                      mesh=model.mesh)
             fallback.system.use_gather_scatter()
     model.system.use_gather_scatter()
-    if window:
+    if window and not args.full_gap:
+        # geom-mode exists for zero-recompile window MOVES; the full-gap
+        # mesh is static, so baking the geometry into the program keeps
+        # the compiled step smaller (the 547k-unknown finish segment sits
+        # near the tunneled worker's compile-size ceiling)
         model.system.enable_geom_mode()
     if args.direct_rescue:
         assert fallback is None, (
