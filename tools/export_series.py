@@ -121,22 +121,24 @@ def export_glow(run: Path, out: Path, nx=64, ny=64):
         file_input=Path("/root/reference/tests/integrated_tests/"
                         "glow_discharge/file_input"),
         nx=nx, ny=ny))
-    names = ["energy_density", "Ar_density", "Ar_star_density",
-             "Ar_plus_density", "electrons", "potential", "mean_energy"]
+    # state layout (models/generic.py docstring): u0 = ln w_e (energy
+    # density), u1..u_{n-2} = ln n_i for species 1.. (background Ar held
+    # at N0, not solved), u_{n-1} = Phi; electrons are the LAST species
+    names = ["energy_density", "Ar_star_density", "Ar_plus_density",
+             "electrons", "potential", "mean_energy"]
     writers = {k: VtuSeriesWriter(k, out) for k in names}
     for p, st, meta in checkpoint_trail(run):
         if model.space.n_dofs != st.u.shape[0]:
             print(f"  skip {p.name}: dof mismatch", flush=True)
             continue
         u = np.asarray(st.u, np.float64)
+        ie = u.shape[1] - 2  # electron column (last species)
         fields = {"energy_density": np.exp(u[:, 0]),
-                  "Ar_density": np.exp(u[:, 1]),
-                  "Ar_star_density": np.exp(u[:, 2]),
-                  "Ar_plus_density": np.exp(u[:, 3]),
-                  "electrons": np.exp(u[:, 4]) if u.shape[1] > 5
-                  else np.exp(u[:, 3]),
+                  "Ar_star_density": np.exp(u[:, 1]),
+                  "Ar_plus_density": np.exp(u[:, 2]),
+                  "electrons": np.exp(u[:, ie]),
                   "potential": u[:, -1],
-                  "mean_energy": np.exp(u[:, 0] - u[:, 3])}
+                  "mean_energy": np.exp(u[:, 0] - u[:, ie])}
         for k, v in fields.items():
             writers[k].write(model.mesh, v, st.t, field_name=k)
         print(f"  {p.name}: t={st.t:.4e} ({st.n_accepted} steps)",
