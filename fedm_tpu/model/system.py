@@ -97,6 +97,7 @@ class CoupledSystem:
         self._step_jit = None
         self._host_iter_jit = None
         self._host_res0_jit = None
+        self._host_iter_rescue_jit = None
 
     # -- elliptic (Poisson-block) preconditioning ---------------------------
 
@@ -262,6 +263,7 @@ class CoupledSystem:
         self._step_jit = None
         self._host_iter_jit = None
         self._host_res0_jit = None
+        self._host_iter_rescue_jit = None
         return NamedSharding(device_mesh, P(axis))
 
     def _gspmd_constrain(self, x):
@@ -498,6 +500,7 @@ class CoupledSystem:
         self._step_jit = None
         self._host_iter_jit = None
         self._host_res0_jit = None
+        self._host_iter_rescue_jit = None
 
     def _jacobian_blocks_zline(self, delta, u_old, d_hist, aux, params):
         """(blocks, (sub, sup)) with Dirichlet rows masked; non-SPMD only
@@ -701,6 +704,7 @@ class CoupledSystem:
         self._step_jit = None
         self._host_iter_jit = None
         self._host_res0_jit = None
+        self._host_iter_rescue_jit = None
 
     def collect_geom(self) -> dict:
         g = {"batches": tuple(b.geom() for b, _ in self._batches())}
@@ -751,6 +755,11 @@ class CoupledSystem:
     def _host_iter_geom(self, delta, fnorm, u_old, u_old1, aux, params,
                         geom):
         return self._geom_view(geom)._host_iter_impl(
+            delta, fnorm, u_old, u_old1, aux, params)
+
+    def _host_iter_rescue_geom(self, delta, fnorm, u_old, u_old1, aux,
+                               params, geom):
+        return self._geom_view(geom)._host_iter_rescue_impl(
             delta, fnorm, u_old, u_old1, aux, params)
 
     def _host_res0_geom(self, delta, u_old, u_old1, aux, params, geom):
@@ -944,8 +953,10 @@ class CoupledSystem:
 
     _host_iter_jit = None
     _host_res0_jit = None
+    _host_iter_rescue_jit = None
 
-    def _host_iter_impl(self, delta, fnorm, u_old, u_old1, aux, params):
+    def _host_iter_cfg(self, delta, fnorm, u_old, u_old1, aux, params,
+                       cfg):
         from ..solvers.newton import newton_iteration
 
         (_, u_old_c, d_hist, aux_c, params_c,
@@ -968,8 +979,30 @@ class CoupledSystem:
             if R_hi_b is not None:
                 R_hi = lambda d: self._gspmd_constrain(
                     R_hi_b(self._gspmd_constrain(d)))
-        return newton_iteration(R, delta, fnorm, self.newton, pb,
+        return newton_iteration(R, delta, fnorm, cfg, pb,
                                 residual_hi=R_hi)
+
+    def _host_iter_impl(self, delta, fnorm, u_old, u_old1, aux, params):
+        # The HOT iteration program compiles WITHOUT the true-res-rescue
+        # branch: the rescue's right-preconditioned GMRES triples the
+        # XLA compile time of this program (tools/compile_probe.py:
+        # 82 s -> 255 s at 484k unknowns on CPU) for a branch that runs
+        # only on pathological states. `_step_host` re-runs a
+        # non-improving iteration through the rescue-enabled variant
+        # (`_host_iter_rescue_impl`, compiled lazily on first use), so
+        # the robustness is retained at trigger time instead of being
+        # paid at every production launch.
+        import dataclasses
+
+        cfg = (dataclasses.replace(self.newton, true_res_rescue=0.0)
+               if self.newton.true_res_rescue > 0 else self.newton)
+        return self._host_iter_cfg(delta, fnorm, u_old, u_old1, aux,
+                                   params, cfg)
+
+    def _host_iter_rescue_impl(self, delta, fnorm, u_old, u_old1, aux,
+                               params):
+        return self._host_iter_cfg(delta, fnorm, u_old, u_old1, aux,
+                                   params, self.newton)
 
     def _host_res0_impl(self, delta, u_old, u_old1, aux, params):
         from ..solvers.linear import _norm
@@ -1031,6 +1064,19 @@ class CoupledSystem:
              step_ok_a) = self._host_iter_jit(
                 delta, jnp.asarray(fnorm, f0_norm.dtype), u_old, u_old1,
                 aux, params, *extra)
+            if not bool(improved_a) and cfgn.true_res_rescue > 0:
+                # lazy rescue: the hot program omits the true-res-rescue
+                # branch (see _host_iter_impl); a non-improving iteration
+                # re-runs through the rescue-enabled variant, compiled
+                # on first trigger only
+                if self._host_iter_rescue_jit is None:
+                    self._host_iter_rescue_jit = jax.jit(
+                        self._host_iter_rescue_geom if self._geom_mode
+                        else self._host_iter_rescue_impl)
+                (delta, fnorm_a, linres_a, improved_a,
+                 step_ok_a) = self._host_iter_rescue_jit(
+                    delta, jnp.asarray(fnorm, f0_norm.dtype), u_old,
+                    u_old1, aux, params, *extra)
             fnorm = float(fnorm_a)
             linres = float(linres_a)
             step_ok = bool(step_ok_a)

@@ -259,7 +259,12 @@ def newton_iteration(
                 | (lin_true > config.true_res_rescue),
                 _rescue, lambda args: args, (delta, lin_true))
 
-    # backtracking line search (SNES newtonls-style damping)
+    # backtracking line search (SNES newtonls-style damping). The lam=1
+    # probe is folded INTO the loop body (init lam=2, fnew=inf, h=-1:
+    # the first body pass halves to lam=1 and evaluates) so the residual
+    # appears ONCE in the traced program — on TPU each hi-residual
+    # instance is an emulated-f64 assembly subgraph, and the extra copy
+    # was a measurable share of the host-iteration compile time.
     def ls_cond(ls):
         lam, fnew_norm, h = ls
         ok = fnew_norm <= (1.0 - config.armijo * lam) * fnorm
@@ -271,10 +276,10 @@ def newton_iteration(
         fnew_norm = _norm(res_ls(u + lam.astype(u.dtype) * delta))
         return lam, fnew_norm, h + 1
 
-    lam0 = jnp.asarray(1.0, fnorm.dtype)
-    fnew0 = _norm(res_ls(u + delta))
-    lam, fnew_norm, _ = lax.while_loop(ls_cond, ls_body,
-                                       (lam0, fnew0, jnp.int32(0)))
+    lam, fnew_norm, _ = lax.while_loop(
+        ls_cond, ls_body,
+        (jnp.asarray(2.0, fnorm.dtype), jnp.asarray(jnp.inf, fnorm.dtype),
+         jnp.int32(-1)))
     u_new = u + lam.astype(u.dtype) * delta
 
     # a non-reducing iteration (residual at its floating-point floor

@@ -280,13 +280,17 @@ class AdaptiveDriver:
                 u_guess = u_old + (self.predictor * ratio) * (u_old - u_old1)
             else:
                 u_guess = u_old
+            import time as _time
+
+            _t0 = _time.perf_counter()
             u_new, info = solve_sys.step(u_guess, u_old, u_old1, aux, params)
             if self.verbose:
                 print(f"  newton: converged={bool(info.converged)} "
                       f"iters={int(info.iters)} "
                       f"res {float(info.res0_norm):.3e} -> "
                       f"{float(info.res_norm):.3e} "
-                      f"linres={float(info.lin_relres):.2e}", flush=True)
+                      f"linres={float(info.lin_relres):.2e} "
+                      f"[{_time.perf_counter() - _t0:.1f}s]", flush=True)
             if (not bool(info.converged) and not escalated
                     and self.fallback_system is not None):
                 if self.verbose:
