@@ -1,0 +1,42 @@
+"""Sharded-production identity at PRODUCTION scale (r3 verdict item 3).
+
+Runs `tools/gspmd_identity.py` — the real bagheri14 window-mesh
+checkpoint (30,305 dofs / 90,915 unknowns at t = 13.75 ns) marched
+through the full production stack single-device and GSPMD-sharded over
+the 8 virtual CPU devices — at a CI-sized step count and asserts the
+trajectories are identical. The committed 5-step artifact is
+`bench_assets/gspmd_production_identity_r04.json`; this test keeps the
+evidence reproducible.
+
+Reference counterpart: `mpirun -np 8` production launch
+(/root/reference/README.md:66).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[2]
+CKPT = ROOT / "runs/bagheri14_ref/checkpoint_004500.npz"
+
+
+@pytest.mark.slow
+def test_production_scale_identity(tmp_path):
+    if not CKPT.exists():
+        pytest.skip("production checkpoint asset not present")
+    out = tmp_path / "identity.json"
+    env = dict(os.environ)
+    # the tool forces JAX_PLATFORMS=cpu + 8 virtual devices itself
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "tools/gspmd_identity.py"),
+         "--steps", "2", "--ckpt", str(CKPT), "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, f"identity tool failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    res = json.loads(out.read_text())
+    assert res["identity_ok"]
+    assert res["n_dofs"] == 30305
+    assert res["max_rel_field_dev"] < 5e-4
