@@ -23,17 +23,24 @@ from pathlib import Path
 
 LINE = re.compile(
     r"^t=(?P<t>[0-9.e+-]+) dt=(?P<dt>[0-9.e+-]+) steps=(?P<steps>\d+) "
-    r"rej=(?P<rej>\d+) esc=(?P<esc>\d+) ne_max=(?P<ne>[0-9.e+-]+) "
+    r"rej=(?P<rej>\d+) esc=(?P<esc>\d+) (?:stall=(?P<stall>\d+) )?"
+    r"ne_max=(?P<ne>[0-9.e+-]+) "
     r"front_z=(?P<fz>[0-9.e+na-]+) Emax=(?P<em>[0-9.e+-]+)")
 
 
-def parse(run_dir: Path):
+def parse(run_dir: Path, logs=None):
     rows = []
-    for ln in (run_dir / "driver.log").read_text().splitlines():
+    paths = (logs if logs
+             else [p for p in (run_dir / "driver.log",) if p.exists()]
+             or sorted(run_dir.glob("nohup*.log")))
+    text = "\n".join(Path(p).read_text(errors="replace")
+                     for p in paths)
+    for ln in text.splitlines():
         m = LINE.match(ln.strip())
         if not m:
             continue
-        d = {k: float(v) if k != "steps" else int(v)
+        d = {k: (0.0 if v is None else
+                 float(v) if k != "steps" else int(v))
              for k, v in m.groupdict().items()}
         rows.append(d)
     # resume overlap: keep the LAST occurrence of each step count
@@ -63,8 +70,8 @@ def velocity(rows):
     return out
 
 
-def report(run_dir: Path):
-    rows = parse(run_dir)
+def report(run_dir: Path, logs=None):
+    rows = parse(run_dir, logs)
     if not rows:
         raise SystemExit(f"no trajectory lines in {run_dir}/driver.log")
     vels = velocity(rows)
@@ -103,17 +110,32 @@ def report(run_dir: Path):
         q = max(1, len(vs) // 4)
         checks["front_accelerating"] = (
             sorted(vs[-q:])[q // 2] > sorted(vs[:q])[q // 2])
-    ems = [d["em"] for d in rows if d["fz"] == d["fz"]]
+    # band checks apply to the PROPAGATION phase only (front still
+    # above the cathode): after arrival the head field collapses and the
+    # cathode sheath densifies to O(1e22-1e23) m^-3 — physical, not the
+    # round-2 mesh-limited spike (which happened mid-propagation)
+    prop = [d for d in rows if d["fz"] == d["fz"] and d["fz"] > 1e-6]
+    ems = [d["em"] for d in prop]
     if ems:
         checks["head_field_band_8_30_MV_per_m"] = (
             8e6 <= max(ems) <= 3e7)
-    nes = [d["ne"] for d in rows[-20:]]
+    nes = [d["ne"] for d in prop[-20:]]
     if nes:
         # the round-2 mesh-limited failure was ne_max ~ 4e24
         checks["no_mesh_limited_density_spike"] = max(nes) < 1e21
+    bridged = [d for d in rows if d["fz"] == 0.0]
+    if bridged:
+        checks["gap_bridged"] = True
+        summary_extra = {
+            "arrival_t_ns": bridged[0]["t"] * 1e9,
+            "final_sheath_ne_max": bridged[-1]["ne"],
+        }
+    else:
+        summary_extra = {}
     checks["zero_escalations"] = all(d["esc"] == 0 for d in rows)
 
     summary = {
+        **summary_extra,
         "t_final_ns": last["t"] * 1e9,
         "steps": last["steps"],
         "rejected": int(last["rej"]),
@@ -131,8 +153,11 @@ def main():
     ap.add_argument("run_dir", type=Path)
     ap.add_argument("--out", type=Path, default=None,
                     help="write markdown report here (default: stdout only)")
+    ap.add_argument("--logs", nargs="*", type=Path, default=None,
+                    help="explicit report-log files (default: driver.log, "
+                         "else nohup*.log in the run dir)")
     args = ap.parse_args()
-    table, summary = report(args.run_dir)
+    table, summary = report(args.run_dir, args.logs)
     md = (f"# Bagheri streamer run: {args.run_dir.name}\n\n"
           f"{table}\n\n## Summary\n\n```json\n"
           f"{json.dumps(summary, indent=2)}\n```\n")
