@@ -29,10 +29,13 @@ def _b64_block(arr: np.ndarray) -> str:
     return base64.b64encode(header + raw).decode()
 
 
-def write_vtu(path, mesh, point_data: dict, binary: bool = False) -> None:
+def write_vtu(path, mesh, point_data: dict, binary: bool = False,
+              point_dtype=None) -> None:
     """Write one .vtu snapshot. point_data: name -> [n_verts]. With
     `binary=True` data arrays are base64-encoded (smaller, faster to
-    parse; encoded natively when the C++ module is built)."""
+    parse; encoded natively when the C++ module is built).
+    `point_dtype=np.float32` halves archival series (committed flagship
+    artifacts); default keeps full Float64."""
     coords = mesh.coords
     cells = mesh.cells
     n_pts, dim = coords.shape
@@ -81,10 +84,13 @@ def write_vtu(path, mesh, point_data: dict, binary: bool = False) -> None:
         emit(f, np.full(len(cells), vtk_type), np.uint8)
         f.write("        </DataArray>\n      </Cells>\n")
         f.write("      <PointData>\n")
+        pd = np.float64 if point_dtype is None else np.dtype(point_dtype)
+        vtk_t = {8: "Float64", 4: "Float32"}[pd.itemsize] \
+            if np.issubdtype(pd, np.floating) else "Float64"
         for name, values in point_data.items():
-            f.write(f'        <DataArray type="Float64" Name="{name}" '
+            f.write(f'        <DataArray type="{vtk_t}" Name="{name}" '
                     f'format="{fmt_attr}">\n')
-            emit(f, values, np.float64)
+            emit(f, values, pd)
             f.write("        </DataArray>\n")
         f.write("      </PointData>\n")
         f.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
@@ -102,7 +108,9 @@ def read_vtu(path, field_name: str) -> np.ndarray:
 
                 raw = base64.b64decode(da.text.strip())
                 n = int(np.frombuffer(raw[:4], np.uint32)[0])
-                return np.frombuffer(raw[4:4 + n], np.float64).copy()
+                dt = {"Float64": np.float64,
+                      "Float32": np.float32}[da.get("type", "Float64")]
+                return np.frombuffer(raw[4:4 + n], dt).astype(np.float64)
             return np.fromstring(da.text.strip(), sep=" ")
     raise KeyError(f"field '{field_name}' not found in {path}")
 
@@ -111,16 +119,18 @@ class VtuSeriesWriter:
     """A `<dir>/<name>/<name>.pvd` time series of `.vtu` snapshots
     (dolfin File layout, `fedm/file_io.py:179-184`)."""
 
-    def __init__(self, name: str, directory):
+    def __init__(self, name: str, directory, binary: bool = False):
         self.name = name
         self.dir = Path(directory) / name
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.binary = binary
         self.snapshots = []  # (timestep, filename)
 
     def write(self, mesh, values, t: float, field_name: Optional[str] = None):
         fname = f"{self.name}{len(self.snapshots):06d}.vtu"
         write_vtu(self.dir / fname, mesh,
-                  {field_name or self.name: np.asarray(values)})
+                  {field_name or self.name: np.asarray(values)},
+                  binary=self.binary)
         self.snapshots.append((t, fname))
         self._write_pvd()
 

@@ -65,19 +65,28 @@ def streamer_mesh(meta):
     tails = (tuple(int(v) for v in meta["z_tail_cells"])
              if "z_tail_cells" in meta else (48, 48))
     wall = float(meta["z_wall_dz"]) if "z_wall_dz" in meta else None
+    # default mg_levels: the corridor line counts are rounded to the MG
+    # hierarchy's multiples, so overriding it changes the node count and
+    # the checkpoint no longer fits the mesh
     cfg = StreamerConfig(dtype=jnp.float32, nx=96, z_corridor=corridor,
                          z_tail_cells=tails, z_wall_dz=wall,
-                         r_corridor=(2e-3, 2e-5), mg_levels=0)
+                         r_corridor=(2e-3, 2e-5))
     return StreamerModel(cfg)
 
 
-def export_streamer(run: Path, out: Path):
-    from fedm_tpu.io.vtu import VtuSeriesWriter
+def export_streamer(run: Path, out: Path, max_snapshots: int = 0):
+    # one COMBINED vtu per snapshot (all four fields share one mesh copy,
+    # binary float32): the 101k-dof production meshes make per-variable
+    # dolfin layout ~10x larger for an archival artifact
+    from fedm_tpu.io.vtu import write_vtu
 
-    writers = {k: VtuSeriesWriter(k, out)
-               for k in ("electrons", "ions", "potential", "E_magnitude")}
+    snapshots = []
     cache = {}
-    for p, st, meta in checkpoint_trail(run):
+    trail = checkpoint_trail(run)
+    if max_snapshots and len(trail) > max_snapshots:
+        idx = np.linspace(0, len(trail) - 1, max_snapshots).round()
+        trail = [trail[int(i)] for i in idx]
+    for p, st, meta in trail:
         key = (tuple(float(v) for v in meta["z_corridor"]),
                tuple(int(v) for v in meta.get("z_tail_cells", (48, 48))))
         if key not in cache:
@@ -104,8 +113,18 @@ def export_streamer(run: Path, out: Path):
                   "ions": np.exp(u[:, 0]),
                   "potential": u[:, 2],
                   "E_magnitude": Em}
-        for k, v in fields.items():
-            writers[k].write(mesh, v, st.t, field_name=k)
+        fname = f"fields{len(snapshots):06d}.vtu"
+        write_vtu(out / fname, mesh, fields, binary=True,
+                  point_dtype=np.float32)
+        snapshots.append((st.t, fname))
+        with open(out / "fields.pvd", "w") as f:
+            f.write('<?xml version="1.0"?>\n'
+                    '<VTKFile type="Collection" version="0.1" '
+                    'byte_order="LittleEndian">\n  <Collection>\n')
+            for t, fn in snapshots:
+                f.write(f'    <DataSet timestep="{t}" part="0" '
+                        f'file="{fn}" />\n')
+            f.write("  </Collection>\n</VTKFile>\n")
         print(f"  {p.name}: t={st.t:.4e} ({st.n_accepted} steps, "
               f"{st.u.shape[0]} dofs)", flush=True)
 
@@ -151,12 +170,15 @@ def main():
     ap.add_argument("--model", choices=["streamer", "glow"],
                     required=True)
     ap.add_argument("--out", type=Path, required=True)
+    ap.add_argument("--max-snapshots", type=int, default=0,
+                    help="evenly subsample the checkpoint trail "
+                         "(archival size control; 0 = all)")
     args = ap.parse_args()
     args.out.mkdir(parents=True, exist_ok=True)
     import fedm_tpu  # noqa: F401
 
     if args.model == "streamer":
-        export_streamer(args.run, args.out)
+        export_streamer(args.run, args.out, args.max_snapshots)
     else:
         export_glow(args.run, args.out)
     print(f"series written under {args.out}", flush=True)
