@@ -65,6 +65,16 @@ def main():
                     help="override the checkpoint's dt on a "
                          "cross-resolution remap resume (the backward-"
                          "Euler restart step; default: keep checkpoint dt)")
+    ap.add_argument("--restart-bdf", action="store_true",
+                    help="force a BDF-history restart (backward-Euler "
+                         "first step at --resume-dt) on a PLAIN same-mesh "
+                         "resume. State-level lever for stiff bands the "
+                         "incoming BDF2 history cannot cross: the 13.67 ns "
+                         "band was entered at a fail-cap-ratcheted "
+                         "dt=3.8e-14 whose history no Newton direction "
+                         "descends from (docs/BAGHERI14_RUN.md); a "
+                         "BDF1-restarted larger-dt approach is a "
+                         "different trajectory through the same physics")
     ap.add_argument("--checkpoint-every", type=int, default=100)
     ap.add_argument("--report-every", type=int, default=25)
     ap.add_argument("--f64", action="store_true", help="full f64 (no escalation)")
@@ -455,6 +465,13 @@ def main():
 
             state = restart_bdf_history(state, dt=args.resume_dt)
             print(f"cross-resolution remap: BDF history restarted "
+                  f"(backward-Euler first step, dt={state.dt:.3e})",
+                  flush=True)
+        if args.restart_bdf:
+            from fedm_tpu.timestepping.driver import restart_bdf_history
+
+            state = restart_bdf_history(state, dt=args.resume_dt)
+            print(f"--restart-bdf: BDF history restarted "
                   f"(backward-Euler first step, dt={state.dt:.3e})",
                   flush=True)
         print(f"resumed from {ckpt}: t={state.t:.4e}, "
