@@ -84,9 +84,11 @@ def write_vtu(path, mesh, point_data: dict, binary: bool = False,
         emit(f, np.full(len(cells), vtk_type), np.uint8)
         f.write("        </DataArray>\n      </Cells>\n")
         f.write("      <PointData>\n")
-        pd = np.float64 if point_dtype is None else np.dtype(point_dtype)
-        vtk_t = {8: "Float64", 4: "Float32"}[pd.itemsize] \
-            if np.issubdtype(pd, np.floating) else "Float64"
+        pd = np.dtype(np.float64 if point_dtype is None else point_dtype)
+        if pd not in (np.dtype(np.float64), np.dtype(np.float32)):
+            raise ValueError(
+                f"point_dtype must be float32 or float64, got {pd}")
+        vtk_t = {8: "Float64", 4: "Float32"}[pd.itemsize]
         for name, values in point_data.items():
             f.write(f'        <DataArray type="{vtk_t}" Name="{name}" '
                     f'format="{fmt_attr}">\n')
