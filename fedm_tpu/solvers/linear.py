@@ -130,11 +130,20 @@ def cg(matvec: Callable, b: Array, x0: Optional[Array] = None,
 
 def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
              precond: Optional[Callable] = None, tol: float = 1e-8,
-             atol: float = 0.0, maxiter: int = 1000):
+             atol: float = 0.0, maxiter: int = 1000,
+             stall_window: int = 0, stall_factor: float = 0.99):
     """Right-preconditioned BiCGStab for general operators.
 
     Returns (x, relative_residual, iterations). Breakdown (rho or omega
     underflow) exits early; the caller checks `relres` for success.
+
+    `stall_window > 0` enables plateau early-exit: if the residual norm
+    fails to drop below `stall_factor * best_so_far` for `stall_window`
+    consecutive iterations, the solve exits with the best relres seen.
+    The reference's PETSc KSP keeps stalled solves cheap via bounded
+    per-solve iterations; at 547k unknowns one stalled full-budget
+    BiCGStab here costs ~23 s vs 2.2 s healthy (tools/fullgap_micro.py),
+    so this cap is what keeps the sheath-phase s/step flat.
     """
     M = precond or _identity
     acc = _acc_dtype(b)
@@ -146,13 +155,18 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
     bnorm = jnp.maximum(_norm(b), 1e-300)
     target = jnp.maximum(tol * bnorm, atol)
     tiny = _tiny(acc)
+    r0norm = _norm(r)
+    window = jnp.int32(stall_window if stall_window > 0 else maxiter + 1)
 
     def cond(state):
-        x, r, rhat, rho, alpha, omega, v, p, k, broke = state
-        return (_norm(r) > target) & (k < maxiter) & (~broke)
+        x, r, rnorm, rhat, rho, alpha, omega, v, p, k, broke, best, since \
+            = state
+        return ((rnorm > target) & (k < maxiter) & (~broke)
+                & (since < window))
 
     def body(state):
-        x, r, rhat, rho, alpha, omega, v, p, k, broke = state
+        x, r, rnorm, rhat, rho, alpha, omega, v, p, k, broke, best, since \
+            = state
         rho_new = _dot(rhat, r)
         breakdown = jnp.abs(rho_new) < tiny
         beta = (rho_new / jnp.where(breakdown, 1.0, rho)) * (
@@ -171,17 +185,24 @@ def bicgstab(matvec: Callable, b: Array, x0: Optional[Array] = None,
         omega = _dot(t, s) / jnp.where(tt < tiny, 1.0, tt)
         x = x + alpha.astype(x.dtype) * phat + omega.astype(x.dtype) * shat
         r = s - omega.astype(x.dtype) * t
-        return x, r, rhat, rho_new, alpha, omega, v, p, k + 1, breakdown
+        rnorm = _norm(r)
+        improved = rnorm < stall_factor * best
+        best = jnp.minimum(best, jnp.where(jnp.isfinite(rnorm), rnorm, best))
+        since = jnp.where(improved, 0, since + 1)
+        return (x, r, rnorm, rhat, rho_new, alpha, omega, v, p, k + 1,
+                breakdown, best, since)
 
-    init = (x, r, rhat, rho, alpha, omega, v, p, jnp.int32(0),
-            jnp.asarray(False))
-    x, r, *_, k, broke = lax.while_loop(cond, body, init)
-    return x, _norm(r) / bnorm, k
+    init = (x, r, r0norm, rhat, rho, alpha, omega, v, p, jnp.int32(0),
+            jnp.asarray(False), r0norm, jnp.int32(0))
+    out = lax.while_loop(cond, body, init)
+    x, rnorm, k = out[0], out[2], out[9]
+    return x, rnorm / bnorm, k
 
 
 def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
           precond: Optional[Callable] = None, tol: float = 1e-8,
-          atol: float = 0.0, maxiter: int = 1000, restart: int = 30):
+          atol: float = 0.0, maxiter: int = 1000, restart: int = 30,
+          stall_window: int = 0, stall_factor: float = 0.99):
     """Restarted GMRES(m) with right preconditioning and Givens rotations.
 
     The reference's Krylov alternative to MUMPS is gmres+AMG
@@ -192,10 +213,16 @@ def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
     the returned `relres` is directly comparable across solvers.
 
     Returns (x, relative_residual, iterations).
+
+    `stall_window`/`stall_factor`: plateau early-exit (see `bicgstab`) —
+    applied to the inner Arnoldi residual recurrence, plus a cycle-level
+    stagnation exit (a full restart cycle improving the residual by less
+    than 1 - stall_factor terminates the outer loop).
     """
     M = precond or _identity
     acc = _acc_dtype(b)
     m = restart
+    window = jnp.int32(stall_window if stall_window > 0 else maxiter + 1)
     shape, n = b.shape, b.size
     x = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.maximum(_norm(b), 1e-300)
@@ -214,11 +241,11 @@ def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
         sn = jnp.zeros(m, acc)
 
         def inner_cond(st):
-            _, _, _, _, _, j, res = st
-            return (j < m) & (res > target)
+            _, _, _, _, _, j, res, best, since = st
+            return (j < m) & (res > target) & (since < window)
 
         def inner_body(st):
-            V, H, g, cs, sn, j, _ = st
+            V, H, g, cs, sn, j, _, best, since = st
             w = matvec(M(V[j].reshape(shape))).reshape(-1)
 
             # modified Gram-Schmidt against V[0..j] (masked full loop)
@@ -250,11 +277,15 @@ def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
             hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
             H = H.at[:, j].set(hcol)
             g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
-            return V, H, g, cs, sn, j + 1, jnp.abs(g[j + 1])
+            res = jnp.abs(g[j + 1])
+            improved = res < stall_factor * best
+            best = jnp.minimum(best, jnp.where(jnp.isfinite(res), res, best))
+            since = jnp.where(improved, 0, since + 1)
+            return V, H, g, cs, sn, j + 1, res, best, since
 
-        V, H, g, cs, sn, j, res = lax.while_loop(
+        V, H, g, cs, sn, j, res, _, _ = lax.while_loop(
             inner_cond, inner_body,
-            (V, H, g, cs, sn, jnp.int32(0), beta))
+            (V, H, g, cs, sn, jnp.int32(0), beta, beta, jnp.int32(0)))
 
         # back substitution on the j x j system (masked to full m)
         Hd = H[:m, :m]
@@ -270,15 +301,20 @@ def gmres(matvec: Callable, b: Array, x0: Optional[Array] = None,
         z = jnp.tensordot(y.astype(b.dtype), V[:m], axes=1).reshape(shape)
         return x + M(z), res, j
 
+    check_cycles = stall_window > 0
+
     def cond(state):
-        _, res, k = state
-        return (res > target) & (k < maxiter)
+        _, res, k, stagnant = state
+        return (res > target) & (k < maxiter) & (~stagnant)
 
     def body(state):
-        x, _, k = state
+        x, res_prev, k, _ = state
         x, res, j = arnoldi_cycle(x)
-        return x, res, k + j
+        stagnant = (jnp.asarray(check_cycles)
+                    & (res >= stall_factor * res_prev))
+        return x, res, k + j, stagnant
 
     r0 = _norm(b - matvec(x))
-    x, res, k = lax.while_loop(cond, body, (x, r0, jnp.int32(0)))
+    x, res, k, _ = lax.while_loop(
+        cond, body, (x, r0, jnp.int32(0), jnp.asarray(False)))
     return x, res / bnorm, k

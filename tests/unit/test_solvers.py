@@ -295,3 +295,48 @@ def test_invert_blocks_singular_guard():
     d = np.diag(A[2]).copy()
     expect = np.diag(np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0))
     np.testing.assert_allclose(inv[2], expect, atol=1e-12)
+
+
+def test_krylov_stall_window_early_exit():
+    """Stall-aware inner budget (NewtonConfig.linear_stall_window): a
+    plateaued Krylov solve exits within ~stall_window iterations of the
+    plateau instead of burning the full maxiter — the reference's PETSc
+    KSP keeps stalled-solve cost flat the same way (bounded per-solve
+    iterations). Singular operator with b outside the range => the
+    residual cannot reach tol, so without the window both solvers grind
+    to maxiter."""
+    from fedm_tpu.solvers.linear import gmres
+
+    rng = np.random.default_rng(3)
+    n = 60
+    d = np.ones(n)
+    d[-1] = 0.0  # null space: last equation is 0 = b[-1] != 0
+    B = rng.standard_normal((n, n))
+    A = jnp.asarray(np.diag(d) @ (B @ B.T + n * np.eye(n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    _, r0, k0 = bicgstab(lambda v: A @ v, b, tol=1e-12, maxiter=2000)
+    assert int(k0) == 2000  # burns the whole budget
+    _, r1, k1 = bicgstab(lambda v: A @ v, b, tol=1e-12, maxiter=2000,
+                         stall_window=20)
+    assert int(k1) < 60  # exits shortly after the plateau is detected
+    # the early exit must not degrade the achieved residual materially
+    assert float(r1) < max(2.0 * float(r0), 0.5)
+    _, g0, j0 = gmres(lambda v: A @ v, b, tol=1e-12, maxiter=2000,
+                      restart=30)
+    _, g1, j1 = gmres(lambda v: A @ v, b, tol=1e-12, maxiter=2000,
+                      restart=30, stall_window=20)
+    assert int(j0) >= 2000 and int(j1) < 90
+
+
+def test_krylov_stall_window_inactive_on_healthy_solve():
+    """With the window enabled, a converging solve is bit-identical to
+    the window-off solver (the guard only observes)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    B = rng.standard_normal((n, n))
+    A = jnp.asarray(B @ B.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x0, r0, k0 = bicgstab(lambda v: A @ v, b, tol=1e-10, stall_window=0)
+    x1, r1, k1 = bicgstab(lambda v: A @ v, b, tol=1e-10, stall_window=20)
+    assert int(k0) == int(k1)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))

@@ -40,6 +40,21 @@ PRESETS = {
         linear_tol=1e-2, checkpoint_every=25, report_every=10,
         predictor=1.0, fail_dt_cap=0.7, true_res_rescue=1.0,
         direct_rescue=True),
+    # the validated FINISH protocol (VERDICT r4 "next" item 8): the static
+    # full-gap uniform-1e-5 mesh (547k unknowns) that round 4 proved out
+    # post-arrival (runs/bagheri14_T, docs/BAGHERI14_RUN.md). Differences
+    # from `bagheri14`: full-gap static corridor (no window moves, geometry
+    # baked into the program — the 547k geom-mode program crashed the
+    # tunneled worker), uniform 10-cell tails at BOTH electrodes, direct
+    # rescue off (a SuperLU factorization costs minutes at this size),
+    # bounded Krylov budget, and the r5 stall-aware inner early-exit.
+    "bagheri14-fullgap": dict(
+        window_dz=1e-5, window_span=1.5e-3, tail_cells="10,10",
+        full_gap=True, dr=2e-5, r1=2e-3, hi_res=True, no_fallback=True,
+        stab="off", linear_tol=1e-2, linear_maxiter=150,
+        linear_stall_window=25, checkpoint_every=25, report_every=10,
+        predictor=1.0, fail_dt_cap=0.7, true_res_rescue=1.0,
+        direct_rescue=False),
 }
 
 
@@ -105,7 +120,15 @@ def main():
                     help="inner Krylov relative tolerance (inexact-Newton "
                          "forcing term; the ttol error control guards the "
                          "physics either way)")
-    ap.add_argument("--hi-res", action="store_true",
+    ap.add_argument("--linear-stall-window", type=int, default=0,
+                    help="NewtonConfig.linear_stall_window: early-exit an "
+                         "inner Krylov solve after this many consecutive "
+                         "iterations without a >1%% residual improvement "
+                         "instead of burning the full --linear-maxiter "
+                         "(~23 s vs 2.2 s per stalled solve at 547k "
+                         "unknowns, tools/fullgap_micro.py). 0 disables")
+    ap.add_argument("--hi-res", action=argparse.BooleanOptionalAction,
+                    default=False,
                     help="mixed-precision Newton: f64-emulated residual "
                          "defect + f32 Krylov correction "
                          "(NewtonConfig.hi_residual) — removes the f32 "
@@ -147,6 +170,9 @@ def main():
                     help="f32 only: skip the emulated-f64 escalation system "
                          "(measured to crash the tunneled TPU worker on the "
                          "55k-dof program)")
+    ap.add_argument("--fallback", dest="no_fallback", action="store_false",
+                    help="re-enable the f64 escalation over a preset's "
+                         "no_fallback=True")
     ap.add_argument("--linear-solver", default=None,
                     choices=[None, "bicgstab", "gmres"],
                     help="override the Newton inner solver")
@@ -228,6 +254,13 @@ def main():
     pre, _ = argparse.ArgumentParser(add_help=False), None
     pre.add_argument("--preset", choices=sorted(PRESETS), default=None)
     known, _ = pre.parse_known_args()
+    # set_defaults silently accepts keys matching no argument dest, so a
+    # preset typo would be dropped without error (round-4 advisor)
+    dests = {a.dest for a in ap._actions}
+    for pname, pdict in PRESETS.items():
+        unknown = set(pdict) - dests
+        if unknown:
+            ap.error(f"preset {pname!r} sets unknown keys: {sorted(unknown)}")
     if known.preset is not None:
         ap.set_defaults(**PRESETS[known.preset])
     args = ap.parse_args()
@@ -341,6 +374,7 @@ def main():
         nc = NewtonConfig(rtol=args.rtol or 1e-3, max_iter=20,
                           linear_tol=args.linear_tol,
                           linear_maxiter=args.linear_maxiter,
+                          linear_stall_window=args.linear_stall_window,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=args.accept_reduction,
                           true_res_rescue=args.true_res_rescue,
@@ -359,6 +393,7 @@ def main():
                           max_iter=20,
                           linear_tol=args.linear_tol,
                           linear_maxiter=args.linear_maxiter,
+                          linear_stall_window=args.linear_stall_window,
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=args.accept_reduction,
                           host_loop=True,
