@@ -97,6 +97,24 @@ class NewtonConfig:
     # degrading-but-improving states; the hot program in exchange never
     # pays the rescue subgraph's compile (tests/unit/test_lazy_rescue.py).
     true_res_rescue: float = 0.0
+    # Per-component trust clamp on the Newton update (log-space trust
+    # region). Empty tuple disables. A tuple of per-equation limits
+    # (broadcast over the state's trailing axis; use float('inf') for
+    # unclamped columns, e.g. the potential) clips each component of the
+    # Newton direction BEFORE the line search: |delta_ij| <= clip[j].
+    # Mechanism it targets (docs/BAGHERI14_RUN.md, the 13.67 ns band):
+    # near-empty log-density sheath rows produce direction components of
+    # hundreds of log-units, so every lam overflows exp(u) or destroys
+    # the iterate there, the GLOBAL line search then refuses every
+    # damping, and Newton reports no descent even on the exact SuperLU
+    # direction. Clamping those components to a physically meaningless-
+    # but-finite multiplicative change (e.g. 15 log-units = 6 orders of
+    # magnitude per iteration) lets the physical part of the direction
+    # proceed at lam=1 while the empty rows walk instead of exploding —
+    # the standard safeguard in log-transformed stiff plasma codes.
+    # The reference never needs it because MUMPS-f64 + FEniCS damping
+    # operate on linear densities (`fedm/functions.py:1154-1161`).
+    delta_clip: tuple = ()
     max_halvings: int = 6       # line-search backtracking depth
     armijo: float = 1e-4
     max_stalls: int = 2         # consecutive non-reducing iterations allowed
@@ -284,6 +302,11 @@ def newton_iteration(
                 ~jnp.isfinite(lin_true)
                 | (lin_true > config.true_res_rescue),
                 _rescue, lambda args: args, (delta, lin_true))
+
+    if config.delta_clip:
+        # per-component log-space trust clamp (see NewtonConfig.delta_clip)
+        lim = jnp.asarray(config.delta_clip, delta.dtype)
+        delta = jnp.clip(delta, -lim, lim)
 
     # backtracking line search (SNES newtonls-style damping). The lam=1
     # probe is folded INTO the loop body (init lam=2, fnew=inf, h=-1:

@@ -340,3 +340,42 @@ def test_krylov_stall_window_inactive_on_healthy_solve():
     x1, r1, k1 = bicgstab(lambda v: A @ v, b, tol=1e-10, stall_window=20)
     assert int(k0) == int(k1)
     np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+
+
+def test_delta_clip_rescues_overflowing_log_update():
+    """Per-component trust clamp (NewtonConfig.delta_clip): the 13.67 ns
+    band mechanism (docs/BAGHERI14_RUN.md) in miniature. A NEAR-EMPTY
+    log-density row contributes almost nothing to ||F|| (|e^x - e^-5| ~
+    7e-3 against the healthy row's 300) but its exp-Jacobian diagonal is
+    e^-50, so its Newton direction component is ~e^45: every global
+    damping overflows exp() and the line search refuses the ENTIRE step
+    — unclamped Newton stalls without descent even though the healthy
+    row's direction is perfect. Clamping the log column to 15 log-units
+    per iteration keeps the empty row finite (it merely walks) and the
+    dominant row converges at lam=1."""
+    def F(u):
+        x, y = u[0, 0], u[0, 1]
+        return jnp.stack([jnp.exp(x) - jnp.exp(-5.0),
+                          100.0 * (y - 3.0)]).reshape(1, 2)
+
+    # node-block Jacobi (production preconditioner): the empty row's
+    # huge direction component enters through the exact block inverse
+    # (1/e^-50 = e^50), not through Krylov resolution — an unpreconditioned
+    # inexact solve would simply never resolve the 7e-3 row at tol 1e-4
+    def pb(u):
+        diag = jnp.stack([jnp.exp(u[0, 0]), jnp.asarray(100.0, u.dtype)])
+        return lambda r: r / diag[None]
+
+    u0 = jnp.asarray([[-50.0, 0.0]])
+    u, info = newton_krylov(F, u0, NewtonConfig(rtol=1e-4, max_iter=12),
+                            precond_builder=pb)
+    assert not bool(info.converged)  # global line search refuses every lam
+    assert float(info.res_norm) == float(info.res0_norm)  # zero descent
+    u, info = newton_krylov(
+        F, u0, NewtonConfig(rtol=1e-4, max_iter=12,
+                            delta_clip=(15.0, float("inf"))),
+        precond_builder=pb)
+    assert bool(info.converged)
+    np.testing.assert_allclose(float(u[0, 1]), 3.0, rtol=1e-8)
+    # the empty row walked (finite, clamped) instead of exploding
+    assert np.isfinite(float(u[0, 0])) and float(u[0, 0]) > -50.0

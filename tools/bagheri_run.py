@@ -143,6 +143,16 @@ def main():
                          "direction — the coarse-corridor resume failure "
                          "mode, docs/BAGHERI14_RUN.md). 0 disables; 1.0 "
                          "= rescue only provably-useless directions")
+    ap.add_argument("--log-clip", type=float, default=0.0,
+                    help="NewtonConfig.delta_clip on the species (log-"
+                         "density) columns: per-component trust clamp of "
+                         "the Newton update to this many log-units per "
+                         "iteration (potential column unclamped). Targets "
+                         "the 13.67 ns no-descent band, where near-empty "
+                         "sheath rows blow every direction past exp() "
+                         "range and the global line search refuses all "
+                         "damping (docs/BAGHERI14_RUN.md). 0 disables; "
+                         "15 (=6.5 decades/iteration) is a safe value")
     ap.add_argument("--accept-reduction", type=float, default=3e-2,
                     help="NewtonConfig.accept_reduction: stall-acceptance "
                          "threshold (accept a kept-best iterate at the "
@@ -279,6 +289,9 @@ def main():
     protocol = {k: (str(v) if isinstance(v, Path) else v)
                 for k, v in sorted(vars(args).items())}
     print(f"protocol: {_json.dumps(protocol)}", flush=True)
+    # species columns clamped, potential column free (streamer n_eq=3)
+    delta_clip = ((args.log_clip, args.log_clip, float("inf"))
+                  if args.log_clip > 0 else ())
 
     import jax
     import jax.numpy as jnp
@@ -378,6 +391,7 @@ def main():
                           linear_solver=args.linear_solver or "bicgstab",
                           accept_reduction=args.accept_reduction,
                           true_res_rescue=args.true_res_rescue,
+                          delta_clip=delta_clip,
                           host_loop=True)
         model = StreamerModel(StreamerConfig(newton=nc, **common))
         fallback = None
@@ -398,6 +412,7 @@ def main():
                           accept_reduction=args.accept_reduction,
                           host_loop=True,
                           hi_residual=args.hi_res,
+                          delta_clip=delta_clip,
                           true_res_rescue=args.true_res_rescue)
         model = StreamerModel(StreamerConfig(dtype=jnp.float32, newton=nc,
                                              **common))
