@@ -57,3 +57,49 @@ def test_bagheri_report_flags_density_spike(tmp_path):
         "[0.50 steps/s]\n")
     _, summary = br.report(tmp_path)
     assert not summary["checks"]["no_mesh_limited_density_spike"]
+
+
+def test_bagheri_report_post_arrival_segment_all_green(tmp_path):
+    """Segment-awareness (round-4 verdict weak #4): a finish segment that
+    is post-arrival by construction (front_z=0 throughout) must get the
+    post-arrival check set (sheath densification, field collapse) and
+    NONE of the propagation-shape checks — it used to read as a physics
+    failure because velocity/acceleration ran on all rows."""
+    br = _load("bagheri_report")
+    log = tmp_path / "driver.log"
+    log.write_text("\n".join([
+        "t=1.3100e-08 dt=1.000e-12 steps=4300 rej=130 esc=0 stall=0 "
+        "ne_max=2.000e+21 front_z=0.0000e+00 Emax=1.600e+07 [0.10 steps/s]",
+        "t=1.3400e-08 dt=1.000e-12 steps=4350 rej=140 esc=0 stall=0 "
+        "ne_max=5.000e+22 front_z=0.0000e+00 Emax=6.000e+06 [0.10 steps/s]",
+        "t=1.3670e-08 dt=1.000e-12 steps=4440 rej=151 esc=0 stall=0 "
+        "ne_max=1.100e+23 front_z=0.0000e+00 Emax=3.300e+06 [0.10 steps/s]",
+    ]))
+    _, summary = br.report(tmp_path)
+    checks = summary["checks"]
+    assert "velocity_band_1e5_2e6" not in checks
+    assert "front_accelerating" not in checks
+    assert "front_monotone_toward_cathode" not in checks
+    assert checks["gap_bridged"]
+    assert checks["sheath_densification"]
+    assert checks["post_arrival_field_collapse"]
+    assert summary["all_checks_pass"]
+
+
+def test_bagheri_report_flags_sheath_regression(tmp_path):
+    """A post-arrival segment whose sheath density COLLAPSES (or whose
+    field re-intensifies into the propagation band) fails its checks."""
+    br = _load("bagheri_report")
+    log = tmp_path / "driver.log"
+    log.write_text("\n".join([
+        "t=1.3100e-08 dt=1.000e-12 steps=4300 rej=130 esc=0 stall=0 "
+        "ne_max=1.100e+23 front_z=0.0000e+00 Emax=1.600e+07 [0.10 steps/s]",
+        "t=1.3400e-08 dt=1.000e-12 steps=4350 rej=140 esc=0 stall=0 "
+        "ne_max=5.000e+22 front_z=0.0000e+00 Emax=2.000e+07 [0.10 steps/s]",
+        "t=1.3670e-08 dt=1.000e-12 steps=4440 rej=151 esc=0 stall=0 "
+        "ne_max=2.000e+21 front_z=0.0000e+00 Emax=2.500e+07 [0.10 steps/s]",
+    ]))
+    _, summary = br.report(tmp_path)
+    assert not summary["checks"]["sheath_densification"]
+    assert not summary["checks"]["post_arrival_field_collapse"]
+    assert not summary["all_checks_pass"]
