@@ -32,6 +32,16 @@ import sys
 import time
 from pathlib import Path
 
+# Line-search structure (round-5 A/B on this bench, same chip/session):
+# the r4 "folded" lam=1 probe costs ~1.6% steady-state step time (median
+# 2.221 vs 2.185 s/step; Newton-Krylov 2.408 vs 2.324 s/step) in exchange
+# for a ~50 s smaller first compile. The bench's headline is steady-state
+# throughput, so it runs the EAGER structure; production runs
+# (tools/bagheri_run.py) keep the folded default because supervisor
+# restarts re-pay the compile while 1.6% of a 25-100 s sheath step is
+# noise. See NewtonConfig / newton_iteration (FEDM_TPU_LS_EAGER).
+os.environ.setdefault("FEDM_TPU_LS_EAGER", "1")
+
 REFERENCE_ESTIMATE = 2.0e4  # DoF*BDF-steps/s, see module docstring
 ROOT = Path(__file__).resolve().parent
 # production checkpoint (round-5 configuration: dz=1e-5 corridor mesh,
