@@ -306,8 +306,21 @@ def main():
     window = args.window_dz is not None
     ckpt = args.out / "checkpoint.npz"
     if window:
-        assert args.no_fallback and not args.f64, (
+        # MOVING-window mode is the f32 production path (the emulated-f64
+        # geom-mode program crashed the tunneled worker). The STATIC
+        # full-gap mesh is different (round 5): geometry is baked into
+        # the program and every execution is Krylov-bounded, which is
+        # what fixed the 547k worker crashes for f32 — so --f64 is
+        # allowed there as the full-gap-scale precision escalation
+        # (r4 verdict "next" item 5; the reference's always-available
+        # MUMPS-f64 role, fedm/functions.py:1154-1161). Pair it with
+        # --linear-maxiter <=150 / --linear-stall-window to keep single
+        # executions under the tunnel's deadline.
+        assert args.no_fallback, (
             "--window-dz is the f32 production path: pass --no-fallback")
+        assert not (args.f64 and not args.full_gap), (
+            "--f64 with a MOVING window crashes the tunneled worker; "
+            "the escalation is supported on the static --full-gap mesh")
         span = args.window_span
         # fixed-topology window (StreamerConfig.z_tail_cells): every
         # position has the same node count, so a window move is a pure
