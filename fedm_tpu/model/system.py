@@ -1055,6 +1055,12 @@ class CoupledSystem:
             target = max(cfgn.rtol * f00, cfgn.atol)
         else:
             target = max(cfgn.rtol * f0, cfgn.atol)
+        # dynamic absolute target (AdaptiveDriver.floor_atol): a plain
+        # host-side attribute the driver refreshes per attempt with
+        # C * (last accepted step's final ||F||). An attempt already AT
+        # the f32 floor exits converged with zero iterations (keeping the
+        # BDF-extrapolated predictor iterate); ttol judges the step.
+        target = max(target, float(getattr(self, "dyn_atol", 0.0) or 0.0))
         fnorm, k, linres, step_ok = f0, 0, float("inf"), False
         stalls = 0 if np.isfinite(f0) else 99
         while (fnorm > target and k < cfgn.max_iter

@@ -110,6 +110,7 @@ class AdaptiveDriver:
         fail_cap_recovery: float = 1.05,
         predictor: float = 0.0,
         newton_log: Optional[Path] = None,
+        floor_atol: float = 0.0,
     ):
         self.system = system
         # int (reference semantics) or tuple/list of components (max-over)
@@ -158,6 +159,25 @@ class AdaptiveDriver:
         # reference's (`fedm/functions.py:1067-1069`).
         self.n_stall_accepted = 0
         self.newton_log = Path(newton_log) if newton_log is not None else None
+        # FLOOR-TRACKING ABSOLUTE TOLERANCE (round 5, the post-band-
+        # crossing regime of the Bagheri finish segment): after a large
+        # rebalancing step, the accepted state satisfies the discrete
+        # equations to its f32 assembly-noise floor — the NEXT attempt
+        # starts at res0 ~ that floor (measured: res0 3.0e16 vs the
+        # previous step's final 2.94e16), Newton can reduce NOTHING, and
+        # every reduction-based criterion (rtol, accept_reduction) fails,
+        # walking dt down for a state that is already converged in the
+        # absolute sense. With floor_atol = C > 0 the driver maintains a
+        # running floor estimate (the last accepted step's final ||F||)
+        # and hands the host-loop solver a dynamic absolute target
+        # C * floor: an attempt whose res0 is already at the floor exits
+        # converged immediately (taking the BDF-extrapolated predictor
+        # state), and the ttol error control — the physical guard —
+        # judges the step as always. This is SNES atol semantics with a
+        # problem-scaled, self-updating magnitude (the reference's MUMPS
+        # f64 never hits this because its floor is 1e9 lower). 0 = off.
+        self.floor_atol = floor_atol
+        self._res_floor = float("inf")
         # On a dt_min death, save the last good state here first so the
         # failure is resumable forensics instead of a lost run (the
         # reference just raises SystemExit, `functions.py:1099-1100`).
@@ -282,6 +302,13 @@ class AdaptiveDriver:
                 u_guess = u_old
             import time as _time
 
+            if self.floor_atol > 0.0:
+                # dynamic absolute target for the host-loop solver (see
+                # __init__); a plain Python attribute — host-side only,
+                # never traced
+                solve_sys.dyn_atol = (
+                    self.floor_atol * self._res_floor
+                    if self._res_floor < float("inf") else 0.0)
             _t0 = _time.perf_counter()
             u_new, info = solve_sys.step(u_guess, u_old, u_old1, aux, params)
             if self.verbose:
@@ -312,6 +339,11 @@ class AdaptiveDriver:
                 self._log_error(err, dt_old, dt)
                 if err < self.ttol:
                     # accepted: controller proposes the next dt
+                    if self.floor_atol > 0.0:
+                        # running floor estimate from accepted steps only
+                        rn = float(info.res_norm)
+                        if rn > 0 and rn == rn:
+                            self._res_floor = rn
                     stall = bool(getattr(info, "stall_accepted", False))
                     if stall:
                         self.n_stall_accepted += 1

@@ -400,3 +400,60 @@ def test_crash_checkpoint_carries_meta(tmp_path):
     _, meta = load_checkpoint(tmp_path / "crash.npz", with_meta=True)
     assert tuple(float(v) for v in meta["z_corridor"]) == corridor
     assert tuple(int(v) for v in meta["z_tail_cells"]) == (10, 48)
+
+
+def test_floor_atol_dynamic_target():
+    """AdaptiveDriver.floor_atol: the driver hands the system a dynamic
+    absolute Newton target C * (last accepted step's final ||F||) and
+    updates the floor only from ttol-accepted steps. Post-band-crossing
+    regime of the Bagheri finish segment (docs/BAGHERI14_RUN.md round 5):
+    attempts starting AT the f32 floor must exit converged instead of
+    spuriously failing every reduction-based criterion."""
+    from fedm_tpu.solvers.newton import NewtonInfo
+    from fedm_tpu.timestepping import AdaptiveDriver
+
+    seen = []
+
+    class StubSystem:
+        newton = None
+
+        def step(self, u_guess, u_old, u_old1, aux, params):
+            seen.append(getattr(self, "dyn_atol", None))
+            info = NewtonInfo(converged=jnp.asarray(True),
+                              iters=jnp.asarray(3),
+                              res_norm=jnp.asarray(2.0e16),
+                              res0_norm=jnp.asarray(3.0e18),
+                              lin_relres=jnp.asarray(1e-3))
+            return u_old + 1e-9, info
+
+    sys_ = StubSystem()
+    d = AdaptiveDriver(sys_, 0, ttol=1e30, dt_min=1e-20, dt_max=1e-9,
+                       floor_atol=1.5)
+    import jax.numpy as jnp2
+    from fedm_tpu.timestepping.driver import TimeState
+    st = TimeState(u=jnp2.ones((4, 1)), u_old=jnp2.ones((4, 1)),
+                   u_old1=jnp2.ones((4, 1)), t=0.0, dt=1e-12,
+                   dt_old=1e-12, max_error=[1e30, 1e30, 1e30],
+                   n_accepted=0, n_rejected=0)
+    st = d.advance(st, {})
+    # first attempt: no floor yet -> dyn_atol 0
+    assert seen[0] == 0.0
+    st = d.advance(st, {})
+    # second attempt: floor = accepted res_norm, target = 1.5x
+    assert seen[1] == pytest.approx(1.5 * 2.0e16)
+
+    # floor_atol=0 (default): the driver never touches dyn_atol
+    seen2 = []
+
+    class Stub2(StubSystem):
+        def step(self, *a):
+            seen2.append(hasattr(self, "dyn_atol"))
+            return super().step(*a)
+
+    d2 = AdaptiveDriver(Stub2(), 0, ttol=1e30, dt_min=1e-20, dt_max=1e-9)
+    st2 = TimeState(u=jnp2.ones((4, 1)), u_old=jnp2.ones((4, 1)),
+                    u_old1=jnp2.ones((4, 1)), t=0.0, dt=1e-12,
+                    dt_old=1e-12, max_error=[1e30, 1e30, 1e30],
+                    n_accepted=0, n_rejected=0)
+    d2.advance(st2, {})
+    assert seen2 == [False]

@@ -143,6 +143,15 @@ def main():
                          "direction — the coarse-corridor resume failure "
                          "mode, docs/BAGHERI14_RUN.md). 0 disables; 1.0 "
                          "= rescue only provably-useless directions")
+    ap.add_argument("--floor-atol", type=float, default=0.0,
+                    help="AdaptiveDriver.floor_atol: dynamic absolute "
+                         "Newton target C * (last accepted step's final "
+                         "||F||). Post-band-crossing regime: the accepted "
+                         "state is converged to its f32 floor, the next "
+                         "attempt starts AT that floor, and every "
+                         "reduction-based criterion spuriously fails. "
+                         "0 disables; 1.5 is a good value (ttol still "
+                         "judges every accepted step)")
     ap.add_argument("--log-clip", type=float, default=0.0,
                     help="NewtonConfig.delta_clip on the species (log-"
                          "density) columns: per-component trust clamp of "
@@ -482,7 +491,8 @@ def main():
         crash_checkpoint=args.out / "crash.npz",
         post_accept=model.floor_projection(), verbose=args.verbose,
         fail_dt_cap=args.fail_dt_cap, predictor=args.predictor,
-        newton_log=args.out / "newton.log")
+        newton_log=args.out / "newton.log",
+        floor_atol=args.floor_atol)
 
     if args.resume and ckpt.exists():
         state, _meta = load_checkpoint(ckpt, with_meta=True)
