@@ -339,10 +339,22 @@ class AdaptiveDriver:
                 self._log_error(err, dt_old, dt)
                 if err < self.ttol:
                     # accepted: controller proposes the next dt
-                    if self.floor_atol > 0.0:
-                        # running floor estimate from accepted steps only
+                    atol_exit = int(info.iters) == 0
+                    if self.floor_atol > 0.0 and not atol_exit:
+                        # Update the floor ONLY from a genuine Newton
+                        # reduction. An atol exit has res_norm == res0
+                        # (nothing was solved); feeding it back would
+                        # ratchet the floor x C per step — measured
+                        # runaway: floor 2.9e16 -> 7.4e18 in ~60 steps,
+                        # after which a FROZEN state extrapolated to
+                        # T_final with 1e-17 step errors while its true
+                        # residual grew monotonically off the manifold
+                        # (runs/bagheri14_T/nohup_r5d.log autopsy). The
+                        # ttol metric cannot see manifold drift, so the
+                        # floor must anchor to solved states only.
                         rn = float(info.res_norm)
-                        if rn > 0 and rn == rn:
+                        if (rn > 0 and rn == rn
+                                and rn < float(info.res0_norm)):
                             self._res_floor = rn
                     stall = bool(getattr(info, "stall_accepted", False))
                     if stall:
@@ -362,6 +374,13 @@ class AdaptiveDriver:
                         dt, max_error, self.ttol, self.dt_min, self.dt_max,
                         dt_old=dt_old,
                     )
+                    if self.floor_atol > 0.0 and atol_exit:
+                        # an extrapolation-only step says nothing about
+                        # solvability at a LARGER dt; growing dt on it
+                        # compounds the extrapolation distance (same
+                        # runaway autopsy: dt walked to dt_max while no
+                        # equation was being solved)
+                        new_dt = min(new_dt, dt)
                     if self.fail_dt_cap > 0.0 and self._dt_cap < float("inf"):
                         new_dt = min(new_dt, self._dt_cap)
                         self._dt_cap *= self.fail_cap_recovery

@@ -416,13 +416,18 @@ def test_floor_atol_dynamic_target():
 
     class StubSystem:
         newton = None
+        # per-call (iters, res0, res) script
+        script = [(3, 3.0e18, 2.0e16),   # genuine solve: sets the floor
+                  (0, 2.5e16, 2.5e16),   # atol exit: floor must NOT move
+                  (0, 3.4e16, 3.4e16)]   # atol exit again
 
         def step(self, u_guess, u_old, u_old1, aux, params):
             seen.append(getattr(self, "dyn_atol", None))
+            it, r0, rn = self.script[len(seen) - 1]
             info = NewtonInfo(converged=jnp.asarray(True),
-                              iters=jnp.asarray(3),
-                              res_norm=jnp.asarray(2.0e16),
-                              res0_norm=jnp.asarray(3.0e18),
+                              iters=jnp.asarray(it),
+                              res_norm=jnp.asarray(rn),
+                              res0_norm=jnp.asarray(r0),
                               lin_relres=jnp.asarray(1e-3))
             return u_old + 1e-9, info
 
@@ -438,17 +443,32 @@ def test_floor_atol_dynamic_target():
     st = d.advance(st, {})
     # first attempt: no floor yet -> dyn_atol 0
     assert seen[0] == 0.0
+    dt_after_solve = st.dt
     st = d.advance(st, {})
-    # second attempt: floor = accepted res_norm, target = 1.5x
+    # second attempt: floor = genuinely-solved res_norm, target = 1.5x
     assert seen[1] == pytest.approx(1.5 * 2.0e16)
+    # the 0-iteration atol exit must NOT grow dt (extrapolation-only
+    # steps say nothing about solvability at larger dt)
+    assert st.dt <= dt_after_solve
+    st = d.advance(st, {})
+    # and must NOT ratchet the floor (res_norm == res0 there; the
+    # measured runaway fed these back and walked the floor to 7.4e18)
+    assert seen[2] == pytest.approx(1.5 * 2.0e16)
 
     # floor_atol=0 (default): the driver never touches dyn_atol
     seen2 = []
 
-    class Stub2(StubSystem):
-        def step(self, *a):
+    class Stub2:
+        newton = None
+
+        def step(self, u_guess, u_old, u_old1, aux, params):
             seen2.append(hasattr(self, "dyn_atol"))
-            return super().step(*a)
+            info = NewtonInfo(converged=jnp.asarray(True),
+                              iters=jnp.asarray(3),
+                              res_norm=jnp.asarray(2.0e16),
+                              res0_norm=jnp.asarray(3.0e18),
+                              lin_relres=jnp.asarray(1e-3))
+            return u_old + 1e-9, info
 
     d2 = AdaptiveDriver(Stub2(), 0, ttol=1e30, dt_min=1e-20, dt_max=1e-9)
     st2 = TimeState(u=jnp2.ones((4, 1)), u_old=jnp2.ones((4, 1)),
