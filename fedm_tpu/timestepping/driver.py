@@ -397,6 +397,20 @@ class AdaptiveDriver:
                 n_rejected += 1
                 rejects_here += 1
             else:
+                if self.floor_atol > 0.0:
+                    # A FAILED solve that still cut ||F|| by >= 2x is a
+                    # fresh floor MEASUREMENT (noise cannot be halved, so
+                    # this cannot ratchet on pure-noise states): in the
+                    # densifying sheath the achievable floor rises faster
+                    # than accepted-step anchoring tracks it, and a stale
+                    # low anchor creates a dead zone where Newton cannot
+                    # reduce (noise) yet atol cannot accept. Re-anchor to
+                    # what the solve actually achieved; the refreshed
+                    # dyn_atol applies to the retry within this advance.
+                    rn, r0 = float(info.res_norm), float(info.res0_norm)
+                    if (rn == rn and rn > 0 and int(info.iters) > 0
+                            and rn <= 0.5 * r0):
+                        self._res_floor = rn
                 if self.fail_dt_cap > 0.0:
                     self._dt_cap = min(self._dt_cap, self.fail_dt_cap * dt)
                 dt = dt * 0.5

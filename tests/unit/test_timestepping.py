@@ -477,3 +477,44 @@ def test_floor_atol_dynamic_target():
                     n_accepted=0, n_rejected=0)
     d2.advance(st2, {})
     assert seen2 == [False]
+
+
+def test_floor_atol_reanchors_from_failed_halving_solve():
+    """A FAILED solve that cut ||F|| >= 2x re-anchors the floor (fresh
+    measurement; noise cannot be halved so this cannot ratchet), healing
+    the stale-anchor dead zone of the densifying sheath."""
+    from fedm_tpu.solvers.newton import NewtonInfo
+    from fedm_tpu.timestepping import AdaptiveDriver
+    from fedm_tpu.timestepping.driver import TimeState
+
+    seen = []
+
+    class Stub:
+        newton = None
+        # call 1: accepted solve (floor = 2e16); call 2: FAILED solve
+        # that halved 1.8e18 -> 4.3e17; call 3: observe refreshed atol
+        script = [(True, 3, 3.0e18, 2.0e16),
+                  (False, 14, 1.8e18, 4.3e17),
+                  (True, 2, 5.0e17, 3.0e17)]
+
+        def step(self, u_guess, u_old, u_old1, aux, params):
+            seen.append(getattr(self, "dyn_atol", None))
+            ok, it, r0, rn = self.script[len(seen) - 1]
+            info = NewtonInfo(converged=jnp.asarray(ok),
+                              iters=jnp.asarray(it),
+                              res_norm=jnp.asarray(rn),
+                              res0_norm=jnp.asarray(r0),
+                              lin_relres=jnp.asarray(1e-3))
+            return u_old + 1e-9, info
+
+    d = AdaptiveDriver(Stub(), 0, ttol=1e30, dt_min=1e-20, dt_max=1e-9,
+                       floor_atol=2.0)
+    st = TimeState(u=jnp.ones((4, 1)), u_old=jnp.ones((4, 1)),
+                   u_old1=jnp.ones((4, 1)), t=0.0, dt=1e-12,
+                   dt_old=1e-12, max_error=[1e30, 1e30, 1e30],
+                   n_accepted=0, n_rejected=0)
+    st = d.advance(st, {})      # call 1 accepted
+    st = d.advance(st, {})      # call 2 fails -> call 3 retries
+    assert seen[1] == pytest.approx(2.0 * 2.0e16)
+    # retry sees the re-anchored floor from the failed solve's result
+    assert seen[2] == pytest.approx(2.0 * 4.3e17)
