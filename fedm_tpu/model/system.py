@@ -1088,10 +1088,11 @@ class CoupledSystem:
             step_ok = bool(step_ok_a)
             stalls = 0 if bool(improved_a) else stalls + 1
             k += 1
+        capped = k >= cfgn.max_iter
         converged = bool(newton_converged(fnorm, f0, target, stalls,
-                                          step_ok, cfgn))
+                                          step_ok, cfgn, capped))
         stall_acc = bool(newton_stall_accepted(fnorm, f0, target, stalls,
-                                               step_ok, cfgn))
+                                               step_ok, cfgn, capped))
         info = NewtonInfo(jnp.asarray(converged), jnp.int32(k),
                           jnp.asarray(fnorm, f0_norm.dtype), f0_norm,
                           jnp.asarray(linres, f0_norm.dtype),

@@ -358,28 +358,40 @@ def newton_iteration(
 
 
 def newton_converged(fnorm, f0_norm, target, stalls, step_ok,
-                     config: NewtonConfig):
+                     config: NewtonConfig, iter_capped=False):
     """Final convergence verdict shared by both drive modes (works on jnp
-    scalars inside jit and on Python floats/bools in the host loop)."""
+    scalars inside jit and on Python floats/bools in the host loop).
+
+    `iter_capped`: the iteration exited at `max_iter` while STILL
+    improving. The accept_reduction clause applies there too (round 5):
+    on the post-band sheath states a 20-iteration solve reducing ||F||
+    22x was discarded because only stall exits qualified — the retry at
+    a capped dt then achieved less, and the march walked down exactly
+    like the pre-clause r3 floors. "Solver did its best" means stalled
+    OR ran out of budget; both exits are audited via
+    `NewtonInfo.stall_accepted`.
+    """
     stall_accept = False
     if config.accept_reduction > 0:
-        # exited ON the floor (not mid-progress): stalls reached the limit,
-        # yet the kept-best iterate has reduced ||F|| by accept_reduction
-        stall_accept = ((stalls >= config.max_stalls)
+        # exited ON the floor (not mid-progress): stalls reached the
+        # limit (or the iteration budget ran out), yet the kept-best
+        # iterate has reduced ||F|| by accept_reduction
+        stall_accept = (((stalls >= config.max_stalls)
+                         | jnp.asarray(iter_capped))
                         & (fnorm <= config.accept_reduction * f0_norm))
     return ((fnorm <= target) | jnp.asarray(step_ok)
             | jnp.asarray(stall_accept)) & jnp.isfinite(fnorm)
 
 
 def newton_stall_accepted(fnorm, f0_norm, target, stalls, step_ok,
-                          config: NewtonConfig):
+                          config: NewtonConfig, iter_capped=False):
     """True iff the verdict of `newton_converged` holds ONLY through the
     stall-acceptance clause (the `NewtonInfo.stall_accepted` audit bit)."""
     if config.accept_reduction <= 0:
         return jnp.asarray(False)
     strict = ((fnorm <= target) | jnp.asarray(step_ok)) & jnp.isfinite(fnorm)
     return (newton_converged(fnorm, f0_norm, target, stalls, step_ok,
-                             config) & ~strict)
+                             config, iter_capped) & ~strict)
 
 
 def newton_krylov(
@@ -415,8 +427,9 @@ def newton_krylov(
             jnp.where(jnp.isfinite(f0_norm), 0, 99).astype(jnp.int32),
             jnp.asarray(jnp.inf, f0_norm.dtype), jnp.asarray(False))
     u, fnorm, k, stalls, linres, step_ok = lax.while_loop(cond, body, init)
+    capped = k >= config.max_iter
     converged = newton_converged(fnorm, f0_norm, target, stalls, step_ok,
-                                 config)
+                                 config, capped)
     stall_acc = newton_stall_accepted(fnorm, f0_norm, target, stalls,
-                                      step_ok, config)
+                                      step_ok, config, capped)
     return u, NewtonInfo(converged, k, fnorm, f0_norm, linres, stall_acc)

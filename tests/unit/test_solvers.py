@@ -379,3 +379,27 @@ def test_delta_clip_rescues_overflowing_log_update():
     np.testing.assert_allclose(float(u[0, 1]), 3.0, rtol=1e-8)
     # the empty row walked (finite, clamped) instead of exploding
     assert np.isfinite(float(u[0, 0])) and float(u[0, 0]) > -50.0
+
+
+def test_accept_reduction_applies_at_iteration_cap():
+    """The accept_reduction clause must fire on a max_iter exit too, not
+    only a stall exit (round 5): a 20-iteration solve reducing ||F|| 22x
+    on the post-band sheath state was discarded because it was still
+    improving when the budget ran out; the capped-dt retries then
+    achieved less and the march walked down. "Solver did its best" =
+    stalled OR out of budget, both audited via stall_accepted."""
+    from fedm_tpu.solvers.newton import (newton_converged,
+                                         newton_stall_accepted)
+
+    cfg = NewtonConfig(rtol=1e-3, max_iter=20, accept_reduction=0.1)
+    # improving at the cap (stalls=0), reduced 22x: accept + audit bit
+    assert bool(newton_converged(0.046, 1.0, 1e-3, 0, False, cfg,
+                                 iter_capped=True))
+    assert bool(newton_stall_accepted(0.046, 1.0, 1e-3, 0, False, cfg,
+                                      iter_capped=True))
+    # at the cap but NOT reduced enough: still a failure
+    assert not bool(newton_converged(0.5, 1.0, 1e-3, 0, False, cfg,
+                                     iter_capped=True))
+    # not capped, not stalled: mid-progress exits never stall-accept
+    assert not bool(newton_converged(0.046, 1.0, 1e-3, 0, False, cfg,
+                                     iter_capped=False))
